@@ -1,0 +1,416 @@
+"""Global configuration for pps-tpu.
+
+A fresh, TPU-native re-implementation of the reference config system
+(/root/reference/detectron/core/config.py).  The key surface is kept
+yaml-compatible with the reference so its shipped configs (e.g.
+``configs/market1501/pps_crm_triplet_R-50_1x.yaml``) load unchanged:
+
+* global ``cfg`` AttrDict with the same section/key names for the live re-ID
+  path (MODEL / SOLVER / TRAIN / TEST / FPN / FAST_RCNN / RESNETS / REID / ...)
+* ``merge_cfg_from_file`` (yaml), ``merge_cfg_from_list`` (``KEY VALUE``
+  remainder list with type coercion), ``assert_and_infer_cfg`` (freeze)
+* deprecated keys from the dormant detection stack are accepted and ignored
+  with a warning instead of erroring, so reference yamls always parse.
+
+New, TPU-only keys live under the ``TPU`` section (mesh shape / axis names /
+eval batching); the reference has no equivalent because its device placement
+is baked into the Caffe2 graph build (reference modeling/optimizer.py:33-87).
+"""
+
+import ast
+import copy
+import logging
+import os
+
+import numpy as np
+import yaml
+
+from pps_tpu.utils.collections import AttrDict
+
+logger = logging.getLogger(__name__)
+
+__C = AttrDict()
+cfg = __C
+
+# ---------------------------------------------------------------------------- #
+# Model options
+# ---------------------------------------------------------------------------- #
+__C.MODEL = AttrDict()
+__C.MODEL.TYPE = ''
+__C.MODEL.CONV_BODY = ''
+__C.MODEL.NUM_CLASSES = -1
+__C.MODEL.USE_BN = False
+__C.MODEL.USE_GN = False
+# Compute dtype for the conv body on TPU ('bfloat16' or 'float32').  Params
+# are always kept in float32; bfloat16 activations feed the MXU at 2x rate.
+__C.MODEL.DTYPE = 'float32'
+
+__C.NUM_GPUS = 1  # retained name for yaml compat; == number of devices
+
+# ---------------------------------------------------------------------------- #
+# Solver options (reference config.py:570-650)
+# ---------------------------------------------------------------------------- #
+__C.SOLVER = AttrDict()
+__C.SOLVER.BASE_LR = 0.001
+__C.SOLVER.LR_SCALE_NEW_PARAM = 10.0
+__C.SOLVER.LR_SCALE_NEW_FC = 10.0
+__C.SOLVER.LR_POLICY = 'step'
+__C.SOLVER.GAMMA = 0.1
+__C.SOLVER.STEP_SIZE = 30000
+__C.SOLVER.STEPS = []
+__C.SOLVER.LRS = []
+__C.SOLVER.MAX_ITER = 40000
+__C.SOLVER.MOMENTUM = 0.9
+__C.SOLVER.WEIGHT_DECAY = 0.0005
+__C.SOLVER.WEIGHT_DECAY_GN = 0.0
+__C.SOLVER.WARM_UP_ITERS = 500
+__C.SOLVER.WARM_UP_FACTOR = 1.0 / 3.0
+__C.SOLVER.WARM_UP_METHOD = 'linear'
+__C.SOLVER.SCALE_MOMENTUM = True
+__C.SOLVER.SCALE_MOMENTUM_THRESHOLD = 1.1
+__C.SOLVER.LOG_LR_CHANGE_THRESHOLD = 1.1
+
+# ---------------------------------------------------------------------------- #
+# Training options
+# ---------------------------------------------------------------------------- #
+__C.TRAIN = AttrDict()
+__C.TRAIN.WEIGHTS = ''
+__C.TRAIN.DATASETS = ()
+__C.TRAIN.SCALES = (600, )
+__C.TRAIN.MAX_SIZE = 1000
+__C.TRAIN.IMS_PER_BATCH = 2
+__C.TRAIN.BATCH_SIZE_PER_IM = 64
+__C.TRAIN.USE_FLIPPED = True
+__C.TRAIN.ASPECT_GROUPING = True
+__C.TRAIN.SNAPSHOT_ITERS = 20000
+__C.TRAIN.FREEZE_AT = 2
+__C.TRAIN.AUTO_RESUME = True
+__C.TRAIN.FREEZE_CONV_BODY = False
+
+# ---------------------------------------------------------------------------- #
+# Inference ('test') options
+# ---------------------------------------------------------------------------- #
+__C.TEST = AttrDict()
+__C.TEST.WEIGHTS = ''
+__C.TEST.DATASETS = ()
+__C.TEST.SCALE = 600
+__C.TEST.MAX_SIZE = 1000
+__C.TEST.PRECOMPUTED_PROPOSALS = False
+# Batched feature extraction size per device (reference runs 1 image per
+# RunNet — test_engine.py:282; batching is the main TPU throughput lever).
+__C.TEST.IMS_PER_BATCH = 64
+
+__C.TEST.BBOX_AUG = AttrDict()
+__C.TEST.BBOX_AUG.ENABLED = False
+__C.TEST.BBOX_AUG.H_FLIP = False
+
+# ---------------------------------------------------------------------------- #
+# FPN options (re-ID multi-scale variant; reference FPN_reid.py)
+# ---------------------------------------------------------------------------- #
+__C.FPN = AttrDict()
+__C.FPN.FPN_ON = False
+__C.FPN.DIM = 256
+__C.FPN.ZERO_INIT_LATERAL = False
+__C.FPN.COARSEST_STRIDE = 32
+__C.FPN.MULTILEVEL_ROIS = False
+
+# ---------------------------------------------------------------------------- #
+# Fast R-CNN options (only ROI_BOX_HEAD is live: selects the re-ID part head)
+# ---------------------------------------------------------------------------- #
+__C.FAST_RCNN = AttrDict()
+__C.FAST_RCNN.ROI_BOX_HEAD = ''
+__C.FAST_RCNN.MLP_HEAD_DIM = 1024
+
+# ---------------------------------------------------------------------------- #
+# ResNet options
+# ---------------------------------------------------------------------------- #
+__C.RESNETS = AttrDict()
+__C.RESNETS.NUM_GROUPS = 1
+__C.RESNETS.WIDTH_PER_GROUP = 64
+__C.RESNETS.STRIDE_1X1 = True
+__C.RESNETS.TRANS_FUNC = 'bottleneck_transformation'
+__C.RESNETS.RES5_DILATION = 1
+__C.RESNETS.RES5_STRIDE = 2
+__C.RESNETS.SHORTCUT_FUNC = 'basic_bn_shortcut'
+__C.RESNETS.STEM_FUNC = 'basic_bn_stem'
+
+# ---------------------------------------------------------------------------- #
+# Group normalization
+# ---------------------------------------------------------------------------- #
+__C.GROUP_NORM = AttrDict()
+__C.GROUP_NORM.DIM_PER_GP = -1
+__C.GROUP_NORM.NUM_GROUPS = 32
+__C.GROUP_NORM.EPSILON = 1e-5
+
+# ---------------------------------------------------------------------------- #
+# Re-ID options (the PPS extension; reference config.py:1016-1088)
+# ---------------------------------------------------------------------------- #
+__C.REID = AttrDict()
+__C.REID.SCALE = (128, 384)  # (width, height)
+__C.REID.VIS = False
+__C.REID.RERANK = True
+__C.REID.ITER_SIZE = 1
+__C.REID.BPM_DIM = 256
+__C.REID.BPM_STRIP_NUM = 6
+__C.REID.CRM = False
+__C.REID.TRIPLET_LOSS = False
+__C.REID.TRIPLET_LOSS_CROSS = False
+__C.REID.TRIPLET_LOSS_START = 10
+__C.REID.DROPOUT_FEATURE = False
+__C.REID.NORMALIZE_FEATURE = False
+__C.REID.MAX_AVE_FEATURE = False
+__C.REID.P = 16
+__C.REID.K = 4
+__C.REID.FPN_SHARED = False
+__C.REID.FPN_NUM = 4
+__C.REID.APM = False
+__C.REID.PSE_ON = False
+__C.REID.PSE_VIEW = 4
+__C.REID.PSE_WEIGHT = 1.0
+__C.REID.CROP_PROB = 0.0
+__C.REID.CROP_RATIO = 1.0
+__C.REID.HORIZONTAL_CROP_PROB = 0.0
+__C.REID.HORIZONTAL_CROP_RATIO = 1.0
+__C.REID.HSV_JITTER_PROB = 0.0
+__C.REID.SATURATION_RANGE = 0.0
+__C.REID.HUE_RANGE = 0.0
+__C.REID.VALUE_RANGE = 0.0
+__C.REID.GAUSSIAN_BLUR_PROB = 0.0
+__C.REID.GAUSSIAN_BLUR_KERNEL = 7
+__C.REID.RANDOM_ERASING_PROB = 0.0
+__C.REID.SL = 0.02
+__C.REID.SH = 0.4
+__C.REID.R1 = 0.3
+__C.REID.SGD_PT = False
+
+# ---------------------------------------------------------------------------- #
+# Data loader options
+# ---------------------------------------------------------------------------- #
+__C.DATA_LOADER = AttrDict()
+__C.DATA_LOADER.NUM_THREADS = 4
+__C.DATA_LOADER.MINIBATCH_QUEUE_SIZE = 64
+__C.DATA_LOADER.BLOBS_QUEUE_CAPACITY = 8
+
+# ---------------------------------------------------------------------------- #
+# TPU options (new; no reference equivalent — device placement there is baked
+# into the Caffe2 graph build, reference modeling/optimizer.py:33-87)
+# ---------------------------------------------------------------------------- #
+__C.TPU = AttrDict()
+# Data-parallel axis name used in shard_map/pjit.
+__C.TPU.DATA_AXIS = 'data'
+# Number of devices for the data mesh; -1 = all visible jax devices.
+__C.TPU.NUM_DEVICES = -1
+# Donate input buffers in the jitted train step.
+__C.TPU.DONATE = True
+
+# ---------------------------------------------------------------------------- #
+# Misc options
+# ---------------------------------------------------------------------------- #
+__C.OUTPUT_DIR = '.'
+# BGR order, matching reference cv2.imread decode + config.py:957.
+__C.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
+__C.RNG_SEED = 3
+__C.EPS = 1e-14
+__C.EXPECTED_RESULTS = []
+__C.EXPECTED_RESULTS_RTOL = 0.1
+__C.EXPECTED_RESULTS_ATOL = 0.005
+__C.EXPECTED_RESULTS_SIGMA_TOL = 4
+__C.USE_NCCL = False  # accepted for yaml compat; collectives are XLA's job
+__C.DOWNLOAD_CACHE = '/tmp/pps-tpu-download-cache'
+__C.VIS = False
+
+# Keys from the dormant Detectron surface that reference yamls may still set.
+# They are accepted and ignored (warning) so configs parse unchanged.
+_IGNORED_SUBTREES = {
+    'MRCNN', 'KRCNN', 'RPN', 'RETINANET', 'RFCN', 'RNG', 'CLUSTER', 'MEMONGER',
+}
+_IGNORED_KEYS = {
+    'MODEL.MASK_ON', 'MODEL.KEYPOINTS_ON', 'MODEL.RPN_ONLY',
+    'MODEL.FASTER_RCNN', 'MODEL.CLS_AGNOSTIC_BBOX_REG',
+    'MODEL.EXECUTION_TYPE', 'TRAIN.PROPOSAL_FILES', 'TEST.PROPOSAL_FILES',
+    'TEST.NMS', 'TEST.RPN_PRE_NMS_TOP_N', 'TEST.RPN_POST_NMS_TOP_N',
+    'TEST.DETECTIONS_PER_IM', 'TEST.SCORE_THRESH', 'TEST.COMPETITION_MODE',
+    'TEST.FORCE_JSON_DATASET_EVAL', 'TRAIN.RPN_PRE_NMS_TOP_N',
+    'TRAIN.RPN_POST_NMS_TOP_N', 'MEMONGER', 'MEMONGER_SHARE_ACTIVATIONS',
+    'TEST.PRECOMPUTED_PROPOSALS',
+}
+
+_RENAMED_KEYS = {
+    'EXAMPLE.RENAMED.KEY': 'EXAMPLE.KEY',  # placeholder used by tests
+}
+
+
+def assert_and_infer_cfg(make_immutable=True):
+    """Validate derived config flags and optionally freeze the config."""
+    if __C.MODEL.TYPE == 'generalized_reid':
+        assert __C.MODEL.NUM_CLASSES > 1, 'REID needs NUM_CLASSES > 1'
+    if __C.REID.TRIPLET_LOSS:
+        assert __C.REID.P * __C.REID.K == __C.TRAIN.IMS_PER_BATCH, (
+            'P*K ({}*{}) must equal TRAIN.IMS_PER_BATCH ({})'.format(
+                __C.REID.P, __C.REID.K, __C.TRAIN.IMS_PER_BATCH))
+    if make_immutable:
+        cfg.immutable(True)
+
+
+def get_output_dir(datasets, training=True):
+    """<output-dir>/<train|test>/<dataset-name>/ (reference config.py:1197)."""
+    dataset_name = ':'.join(datasets) if isinstance(
+        datasets, (tuple, list)) else str(datasets)
+    tag = 'train' if training else 'test'
+    outdir = os.path.join(__C.OUTPUT_DIR, tag, dataset_name)
+    if not os.path.exists(outdir):
+        os.makedirs(outdir)
+    return outdir
+
+
+def load_cfg(cfg_to_load):
+    """Load a yaml config string or file object."""
+    if hasattr(cfg_to_load, 'read'):
+        cfg_to_load = cfg_to_load.read()
+    return yaml.safe_load(cfg_to_load)
+
+
+def merge_cfg_from_file(cfg_filename):
+    """Load a yaml config file and merge it into the global config."""
+    with open(cfg_filename, 'r') as f:
+        yaml_cfg = AttrDict(_to_attr_dict(yaml.safe_load(f)))
+    _merge_a_into_b(yaml_cfg, __C)
+
+
+def merge_cfg_from_cfg(cfg_other):
+    """Merge ``cfg_other`` into the global config."""
+    _merge_a_into_b(cfg_other, __C)
+
+
+def merge_cfg_from_list(cfg_list):
+    """Merge config keys/values in a list (e.g. from command line) into the
+    global config. e.g. ``['TEST.NMS', 0.5]``.
+    """
+    assert len(cfg_list) % 2 == 0
+    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        if _key_is_deprecated(full_key):
+            continue
+        if _key_is_renamed(full_key):
+            _raise_key_rename_error(full_key)
+        key_list = full_key.split('.')
+        d = __C
+        for subkey in key_list[:-1]:
+            assert subkey in d, 'Non-existent key: {}'.format(full_key)
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, 'Non-existent key: {}'.format(full_key)
+        value = _decode_cfg_value(v)
+        value = _check_and_coerce_cfg_value_type(value, d[subkey], subkey,
+                                                 full_key)
+        d[subkey] = value
+
+
+def reset_cfg():
+    """Reset config values to the defaults (for tests)."""
+    global _DEFAULT_CFG
+    cfg.immutable(False)
+    for k in list(cfg.keys()):
+        del cfg[k]
+    for k, v in copy.deepcopy(_DEFAULT_CFG).items():
+        cfg[k] = v
+
+
+def _to_attr_dict(d):
+    if isinstance(d, dict):
+        return AttrDict({k: _to_attr_dict(v) for k, v in d.items()})
+    return d
+
+
+def _merge_a_into_b(a, b, stack=None):
+    """Merge config dictionary a into config dictionary b, clobbering the
+    options in b whenever they are also specified in a.
+    """
+    assert isinstance(a, AttrDict), 'Argument `a` must be an AttrDict'
+    assert isinstance(b, AttrDict), 'Argument `b` must be an AttrDict'
+
+    for k, v_ in a.items():
+        full_key = '.'.join(stack) + '.' + k if stack is not None else k
+        # a must specify keys that are in b
+        if k not in b:
+            if _key_is_deprecated(full_key):
+                continue
+            elif _key_is_renamed(full_key):
+                _raise_key_rename_error(full_key)
+            elif _key_is_ignored(full_key):
+                logger.warning(
+                    'Ignoring dormant-detection config key: %s', full_key)
+                continue
+            else:
+                raise KeyError('Non-existent config key: {}'.format(full_key))
+
+        v = copy.deepcopy(v_)
+        v = _decode_cfg_value(v)
+        if isinstance(b[k], AttrDict) and isinstance(v, dict):
+            v = _to_attr_dict(v)
+            stack_push = [k] if stack is None else stack + [k]
+            _merge_a_into_b(v, b[k], stack=stack_push)
+            continue
+        v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
+        b[k] = v
+
+
+def _key_is_deprecated(full_key):
+    return False
+
+
+def _key_is_ignored(full_key):
+    if full_key in _IGNORED_KEYS:
+        return True
+    return full_key.split('.')[0] in _IGNORED_SUBTREES
+
+
+def _key_is_renamed(full_key):
+    return full_key in _RENAMED_KEYS
+
+
+def _raise_key_rename_error(full_key):
+    new_key = _RENAMED_KEYS[full_key]
+    raise KeyError(
+        'Key {} was renamed to {}; please update your config.'.format(
+            full_key, new_key))
+
+
+def _decode_cfg_value(v):
+    """Decode a raw config value (e.g., from a yaml config file or command
+    line argument) into a Python object.
+    """
+    if isinstance(v, dict):
+        return v
+    if not isinstance(v, str):
+        return v
+    try:
+        v = ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        pass  # plain string
+    return v
+
+
+def _check_and_coerce_cfg_value_type(value_a, value_b, key, full_key):
+    """Check that `value_a`, which is intended to replace `value_b`, is of the
+    right type; coerce it if possible.
+    """
+    type_a, type_b = type(value_a), type(value_b)
+    if type_a is type_b:
+        return value_a
+    # numpy arrays (e.g. PIXEL_MEANS) accept lists
+    if isinstance(value_b, np.ndarray):
+        return np.array(value_a, dtype=value_b.dtype)
+    if isinstance(value_b, str):
+        return str(value_a)
+    if isinstance(value_b, float) and isinstance(value_a, int):
+        return float(value_a)
+    if isinstance(value_a, tuple) and isinstance(value_b, list):
+        return list(value_a)
+    if isinstance(value_a, list) and isinstance(value_b, tuple):
+        return tuple(value_a)
+    raise ValueError(
+        'Type mismatch ({} vs. {}) with values ({} vs. {}) for config '
+        'key: {}'.format(type_b, type_a, value_b, value_a, full_key))
+
+
+_DEFAULT_CFG = copy.deepcopy(dict(__C))

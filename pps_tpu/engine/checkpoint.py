@@ -1,0 +1,241 @@
+"""Checkpoint I/O: reference-pkl-compatible save/load + auto-resume.
+
+Interoperates bidirectionally with the reference checkpoint container
+(/root/reference/detectron/utils/net.py:53-178): a pickle of
+``{'blobs': {unscoped_name: ndarray}, 'cfg': yaml_str}`` holding params,
+BN running stats (``*_bn_rm`` / ``*_bn_riv`` — the latter stores plain
+variance, see reference tools/pickle_caffe_blobs_keep_bn.py:140-158) and
+``*_momentum`` blobs.
+
+Our in-memory layout differs TPU-side (HWIO conv kernels, stacked [R, ...]
+head params); this module owns the name/layout mapping:
+
+  conv weights       OIHW <-> HWIO transpose
+  head combo params  '{combo_prefix}_conv_w' [D,C,1,1] <-> stacked [R][C,D]
+  FC weights         [K, D] <-> [D, K] (stacked [R, D, K] per combo)
+
+so a checkpoint written here can be loaded by the reference and vice versa
+(including the ImageNet R-50_BN.pkl bootstrap, which contains only backbone
+blobs: partial loads are allowed exactly like the reference's name-matched,
+shape-checked loader).
+"""
+
+import logging
+import os
+import re
+
+import numpy as np
+import jax.numpy as jnp
+import yaml
+
+from pps_tpu.utils.io import load_object, save_object
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# name/layout mapping between our pytrees and reference blob dicts
+# ---------------------------------------------------------------------------
+
+
+def _head_entries(model):
+    """Yield (stacked_key, combo_idx, c2_name, kind) for head params."""
+    prefix = model.head_param_prefix
+    for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):
+        yield prefix + '_conv_w', r, combo_prefix + '_conv_w', 'conv1x1_w'
+        yield prefix + '_conv_b', r, combo_prefix + '_conv_b', 'vec'
+        yield prefix + '_bn_s', r, combo_prefix + '_bn_s', 'vec'
+        yield prefix + '_bn_b', r, combo_prefix + '_bn_b', 'vec'
+        yield prefix + '_fc_w', r, combo_prefix + '_fc_w', 'fc_w'
+        yield prefix + '_fc_b', r, combo_prefix + '_fc_b', 'vec'
+
+
+def _head_state_entries(model):
+    prefix = model.head_param_prefix
+    for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):
+        yield prefix + '_bn_rm', r, combo_prefix + '_bn_rm', 'vec'
+        yield prefix + '_bn_riv', r, combo_prefix + '_bn_riv', 'vec'
+
+
+def params_to_blobs(model, params, state=None):
+    """Convert our (params[, state]) pytrees to a reference blob dict."""
+    blobs = {}
+    head_keys = {k for k, _, _, _ in _head_entries(model)}
+    for name, arr in params.items():
+        a = np.asarray(arr, dtype=np.float32)
+        if name in head_keys:
+            continue  # handled stacked below
+        if name == 'crm_fc8c_w' or name == 'crm_fc8d_w':
+            blobs[name] = np.ascontiguousarray(a.T)  # [D,K] -> [K,D]
+        elif name.endswith('_w') and a.ndim == 4:
+            blobs[name] = np.ascontiguousarray(
+                a.transpose(3, 2, 0, 1))  # HWIO -> OIHW
+        else:
+            blobs[name] = a
+    for key, r, c2_name, kind in _head_entries(model):
+        a = np.asarray(params[key][r], dtype=np.float32)
+        blobs[c2_name] = _stacked_to_c2(a, kind)
+    if state is not None:
+        head_state_keys = {k for k, _, _, _ in _head_state_entries(model)}
+        for name, arr in state.items():
+            if name in head_state_keys:
+                continue
+            blobs[name] = np.asarray(arr, dtype=np.float32)
+        for key, r, c2_name, kind in _head_state_entries(model):
+            blobs[c2_name] = np.asarray(state[key][r], dtype=np.float32)
+    return blobs
+
+
+def _stacked_to_c2(a, kind):
+    if kind == 'conv1x1_w':  # ours [C, D] -> c2 [D, C, 1, 1]
+        return np.ascontiguousarray(a.T)[:, :, None, None]
+    if kind == 'fc_w':  # ours [D, K] -> c2 [K, D]
+        return np.ascontiguousarray(a.T)
+    return a
+
+
+def _c2_to_stacked(a, kind):
+    if kind == 'conv1x1_w':
+        return np.ascontiguousarray(a[:, :, 0, 0].T)
+    if kind == 'fc_w':
+        return np.ascontiguousarray(a.T)
+    return a
+
+
+def blobs_to_params(model, blobs, params, state):
+    """Load a reference blob dict into copies of (params, state).
+
+    Name-matched and shape-checked like the reference loader
+    (utils/net.py:53-135); missing blobs keep their current values, unknown
+    blobs are ignored with a log line.  Returns (params, state, matched).
+    """
+    params = dict(params)
+    state = dict(state)
+    matched = set()
+
+    def _try_set(tree, name, value):
+        cur = tree[name]
+        if tuple(cur.shape) != tuple(value.shape):
+            raise ValueError(
+                'Shape mismatch for {}: checkpoint {} vs model {}'.format(
+                    name, value.shape, cur.shape))
+        tree[name] = jnp.asarray(value, dtype=jnp.float32)
+
+    head = {c2: (key, r, kind) for key, r, c2, kind in _head_entries(model)}
+    head_state = {
+        c2: (key, r, kind) for key, r, c2, kind in _head_state_entries(model)}
+
+    # stacked head params are assembled then written once
+    stacked_new = {}
+    for c2_name, arr in blobs.items():
+        arr = np.asarray(arr, dtype=np.float32)
+        if c2_name in head:
+            key, r, kind = head[c2_name]
+            stacked_new.setdefault(key, np.asarray(params[key]).copy())
+            stacked_new[key][r] = _c2_to_stacked(arr, kind)
+            matched.add(c2_name)
+        elif c2_name in head_state:
+            key, r, kind = head_state[c2_name]
+            stacked_new.setdefault(key, np.asarray(state[key]).copy())
+            stacked_new[key][r] = arr
+            matched.add(c2_name)
+        elif c2_name in ('crm_fc8c_w', 'crm_fc8d_w') and c2_name in params:
+            _try_set(params, c2_name, arr.T)
+            matched.add(c2_name)
+        elif c2_name in params:
+            p = np.asarray(params[c2_name])
+            if p.ndim == 4 and c2_name.endswith('_w'):
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            _try_set(params, c2_name, arr)
+            matched.add(c2_name)
+        elif c2_name in state:
+            _try_set(state, c2_name, arr)
+            matched.add(c2_name)
+        elif c2_name.endswith('_momentum'):
+            pass  # handled by load_checkpoint
+        else:
+            logger.info('Ignoring checkpoint blob with no model match: %s',
+                        c2_name)
+    for key, arr in stacked_new.items():
+        if key in params:
+            params[key] = jnp.asarray(arr)
+        else:
+            state[key] = jnp.asarray(arr)
+    return params, state, matched
+
+
+# ---------------------------------------------------------------------------
+# save / load / resume
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path, model, params, state, opt_state=None, cfg=None):
+    """Write a reference-compatible weights pickle
+    (reference utils/net.py:138-178 content contract)."""
+    blobs = params_to_blobs(model, params, state)
+    if opt_state is not None and 'momentum' in opt_state:
+        mom_blobs = params_to_blobs(model, opt_state['momentum'])
+        for name, arr in mom_blobs.items():
+            blobs[name + '_momentum'] = arr
+    payload = {'blobs': blobs}
+    if cfg is not None:
+        payload['cfg'] = yaml.dump(_plain(dict(cfg)))
+    save_object(payload, path)
+    logger.info('Wrote checkpoint: %s (%d blobs)', path, len(blobs))
+
+
+def _plain(obj):
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
+
+
+def load_checkpoint(path, model, params, state, opt_state=None):
+    """Load weights (+ momentum if opt_state given) from a pickle.
+
+    Accepts both our checkpoints and reference ones (including the
+    backbone-only ImageNet bootstrap).  Returns (params, state, opt_state).
+    """
+    payload = load_object(path)
+    blobs = payload.get('blobs', payload)
+    weight_blobs = {k: v for k, v in blobs.items()
+                    if not k.endswith('_momentum')}
+    params, state, matched = blobs_to_params(model, weight_blobs, params,
+                                             state)
+    logger.info('Loaded %d/%d checkpoint blobs from %s', len(matched),
+                len(weight_blobs), path)
+    if opt_state is not None:
+        mom_blobs = {k[:-len('_momentum')]: v for k, v in blobs.items()
+                     if k.endswith('_momentum')}
+        if mom_blobs:
+            mom, _, _ = blobs_to_params(
+                model, mom_blobs, opt_state['momentum'],
+                {})
+            opt_state = dict(opt_state)
+            opt_state['momentum'] = mom
+    return params, state, opt_state
+
+
+_EPOCH_RE = re.compile(r'^model_epoch(\d+)\.pkl$')
+
+
+def find_resume_checkpoint(output_dir):
+    """Auto-resume scan (reference utils/train.py:146-185): returns
+    (path, epoch) of the newest ``model_epoch{N}.pkl``; ``model_final.pkl``
+    wins with epoch = -1 meaning training is complete."""
+    final = os.path.join(output_dir, 'model_final.pkl')
+    if os.path.exists(final):
+        return final, -1
+    best = (None, 0)
+    if os.path.isdir(output_dir):
+        for f in os.listdir(output_dir):
+            m = _EPOCH_RE.match(f)
+            if m and int(m.group(1)) > best[1]:
+                best = (os.path.join(output_dir, f), int(m.group(1)))
+    return best

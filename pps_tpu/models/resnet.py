@@ -1,0 +1,275 @@
+"""ResNet-50/101/152 conv body, TPU-native.
+
+Re-implements the capability of the reference graph builder
+(/root/reference/detectron/modeling/ResNet.py) as pure jax functions over a
+flat param pytree.  Design choices (deliberately different from the Caffe2
+port):
+
+* Activations are NHWC and kernels HWIO — the layouts XLA:TPU tiles best —
+  instead of the reference's NCHW/OIHW.
+* Params live in a flat ``{name: array}`` dict whose keys are exactly the
+  reference's unscoped blob names (``conv1_w``, ``res2_0_branch2a_w``,
+  ``res2_0_branch2a_bn_s`` ...; naming from reference ResNet.py:246-251,
+  267-334 and tools/pickle_caffe_blobs_keep_bn.py:75-88).  This makes the
+  Caffe2-pkl converter a pure name/layout map and keeps per-param LR-group
+  selection (reference modeling/optimizer.py:133-151) trivially compatible.
+* BN running stats (``*_bn_rm``/``*_bn_riv``) live in a separate ``state``
+  dict so the train step stays a pure function.
+
+Re-ID specific knobs honored: ``RESNETS.RES5_STRIDE`` / ``RES5_DILATION``
+(last-stride-1 trick, reference ResNet.py:111-127) and ``TRAIN.FREEZE_AT``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPSILON = 1e-5  # Caffe2 SpatialBN default epsilon
+BN_MOMENTUM = 0.9  # Caffe2 SpatialBN default momentum
+
+
+# ---------------------------------------------------------------------------
+# Block structure
+# ---------------------------------------------------------------------------
+
+BLOCK_COUNTS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+def resnet_spec(cfg, depth=50):
+    """Static description of the conv body derived from cfg.
+
+    Returns a dict with per-stage block counts, strides, dilations and the
+    final spatial scale (reference ResNet.py:91-151).
+    """
+    n1, n2, n3, n4 = BLOCK_COUNTS[depth]
+    res5_stride = cfg.RESNETS.RES5_STRIDE
+    res5_dilation = cfg.RESNETS.RES5_DILATION
+    spec = {
+        'depth': depth,
+        'num_groups': cfg.RESNETS.NUM_GROUPS,
+        'width_per_group': cfg.RESNETS.WIDTH_PER_GROUP,
+        'stride_1x1': cfg.RESNETS.STRIDE_1X1,
+        'stages': [
+            # (name, n_blocks, dim_out, dim_inner, stride, dilation)
+            ('res2', n1, 256, cfg.RESNETS.NUM_GROUPS *
+             cfg.RESNETS.WIDTH_PER_GROUP, 1, 1),
+            ('res3', n2, 512, cfg.RESNETS.NUM_GROUPS *
+             cfg.RESNETS.WIDTH_PER_GROUP * 2, 2, 1),
+            ('res4', n3, 1024, cfg.RESNETS.NUM_GROUPS *
+             cfg.RESNETS.WIDTH_PER_GROUP * 4, 2, 1),
+            ('res5', n4, 2048, cfg.RESNETS.NUM_GROUPS *
+             cfg.RESNETS.WIDTH_PER_GROUP * 8, res5_stride, res5_dilation),
+        ],
+        # stem stride 4 (conv /2 + pool /2), res3 /2, res4 /2, res5 cfg'd
+        'spatial_scale': 1.0 / (4 * 1 * 2 * 2 * res5_stride) * res5_dilation,
+        'dim_out': 2048,
+        'freeze_at': cfg.TRAIN.FREEZE_AT,
+        'dtype': cfg.MODEL.DTYPE,
+    }
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _msra_fill(rng, shape):
+    """He-normal fan_out init (Caffe2 MSRAFill) for HWIO conv kernels."""
+    kh, kw, _, c_out = shape
+    fan_out = kh * kw * c_out
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(rng, shape, dtype=jnp.float32) * std
+
+
+def _init_conv_bn(rngs, params, state, name, kh, kw, c_in, c_out):
+    params[name + '_w'] = _msra_fill(next(rngs), (kh, kw, c_in, c_out))
+    params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
+    params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
+    state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
+    state[name + '_bn_riv'] = jnp.ones((c_out,), jnp.float32)
+
+
+def init_resnet_params(rng, spec):
+    """Create randomly-initialized params/state for the conv body."""
+    def rng_iter(key):
+        while True:
+            key, sub = jax.random.split(key)
+            yield sub
+
+    rngs = rng_iter(rng)
+    params, state = {}, {}
+    # stem: conv1 7x7/2 + bn (named res_conv1_bn; reference ResNet.py:246-251)
+    params['conv1_w'] = _msra_fill(next(rngs), (7, 7, 3, 64))
+    params['res_conv1_bn_s'] = jnp.ones((64,), jnp.float32)
+    params['res_conv1_bn_b'] = jnp.zeros((64,), jnp.float32)
+    state['res_conv1_bn_rm'] = jnp.zeros((64,), jnp.float32)
+    state['res_conv1_bn_riv'] = jnp.ones((64,), jnp.float32)
+
+    dim_in = 64
+    for (stage, n_blocks, dim_out, dim_inner, _stride, _dil) in spec['stages']:
+        for i in range(n_blocks):
+            prefix = '{}_{}'.format(stage, i)
+            if i == 0 and dim_in != dim_out:
+                _init_conv_bn(rngs, params, state, prefix + '_branch1',
+                              1, 1, dim_in, dim_out)
+            _init_conv_bn(rngs, params, state, prefix + '_branch2a',
+                          1, 1, dim_in, dim_inner)
+            _init_conv_bn(rngs, params, state, prefix + '_branch2b',
+                          3, 3, dim_inner, dim_inner)
+            _init_conv_bn(rngs, params, state, prefix + '_branch2c',
+                          1, 1, dim_inner, dim_out)
+            dim_in = dim_out
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def conv2d(x, w, stride=1, dilation=1, padding='SAME_LOWER', dtype=None):
+    """NHWC conv. ``SAME_LOWER`` = explicit symmetric pad matching Caffe2's
+    pad=k//2 convention (identical to XLA SAME for odd kernels and stride 1;
+    we pass explicit pads so stride-2 matches Caffe2 exactly)."""
+    kh, kw = w.shape[0], w.shape[1]
+    ph = ((kh - 1) * dilation) // 2
+    pw = ((kw - 1) * dilation) // 2
+    if dtype is not None and dtype != jnp.float32:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+    )
+
+
+def batch_norm(x, params, state, name, train, stats_axes=(0, 1, 2)):
+    """SpatialBN with Caffe2 semantics (eps 1e-5, momentum 0.9, biased batch
+    variance).  Returns (y, state_updates) where state_updates is {} in eval
+    mode.  x is NHWC (or [..., C]); stats are over all axes but the last."""
+    s = params[name + '_s']
+    b = params[name + '_b']
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=stats_axes)
+        var = jnp.mean(jnp.square(xf), axis=stats_axes) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+        updates = {
+            name + '_rm': BN_MOMENTUM * state[name + '_rm'] +
+            (1.0 - BN_MOMENTUM) * mean,
+            name + '_riv': BN_MOMENTUM * state[name + '_riv'] +
+            (1.0 - BN_MOMENTUM) * var,
+        }
+    else:
+        mean = state[name + '_rm']
+        var = state[name + '_riv']
+        updates = {}
+    inv = jax.lax.rsqrt(var + BN_EPSILON) * s
+    y = (x.astype(jnp.float32) - mean) * inv + b
+    return y.astype(x.dtype), updates
+
+
+def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
+             dtype=None):
+    y = conv2d(x, params[name + '_w'], stride=stride, dilation=dilation,
+               dtype=dtype)
+    y, upd = batch_norm(y, {'_s': params[name + '_bn_s'],
+                            '_b': params[name + '_bn_b']},
+                        {'_rm': state[name + '_bn_rm'],
+                         '_riv': state[name + '_bn_riv']},
+                        '', train)
+    for k, v in upd.items():
+        updates[name + '_bn' + k] = v
+    return y
+
+
+def bottleneck_block(x, params, state, updates, prefix, stride, dilation,
+                     stride_1x1, train, dtype=None):
+    """1x1 -> 3x3 -> 1x1 bottleneck (reference ResNet.py:276-343)."""
+    str1, str3 = (stride, 1) if stride_1x1 else (1, stride)
+
+    shortcut = x
+    if (prefix + '_branch1_w') in params:
+        shortcut = _conv_bn(x, params, state, updates, prefix + '_branch1',
+                            train, stride=stride, dtype=dtype)
+
+    cur = _conv_bn(x, params, state, updates, prefix + '_branch2a', train,
+                   stride=str1, dtype=dtype)
+    cur = jax.nn.relu(cur)
+    cur = _conv_bn(cur, params, state, updates, prefix + '_branch2b', train,
+                   stride=str3, dilation=dilation, dtype=dtype)
+    cur = jax.nn.relu(cur)
+    cur = _conv_bn(cur, params, state, updates, prefix + '_branch2c', train,
+                   stride=1, dtype=dtype)
+    return jax.nn.relu(cur + shortcut)
+
+
+def max_pool_3x3_s2(x):
+    """kernel 3, stride 2, pad 1 (Caffe2 pool1; reference ResNet.py:250)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def apply_resnet(params, state, x, spec, train=False,
+                 return_stages=False):
+    """Run the conv body.
+
+    Args:
+      params / state: flat dicts (see module docstring).
+      x: [N, H, W, 3] mean-subtracted BGR image batch.
+      train: batch-stat BN + state updates when True.
+      return_stages: also return {res2..res5} intermediate features (for FPN).
+
+    Returns:
+      (features, state_updates) where features is the res5 NHWC map, or
+      (features, stages, state_updates) with return_stages.
+    """
+    dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
+        spec.get('dtype', 'float32')]
+    updates = {}
+    cur = conv2d(x, params['conv1_w'], stride=2, dtype=dtype)
+    cur, upd = batch_norm(
+        cur,
+        {'_s': params['res_conv1_bn_s'], '_b': params['res_conv1_bn_b']},
+        {'_rm': state['res_conv1_bn_rm'], '_riv': state['res_conv1_bn_riv']},
+        '', train)
+    for k, v in upd.items():
+        updates['res_conv1_bn' + k] = v
+    cur = jax.nn.relu(cur)
+    cur = max_pool_3x3_s2(cur)
+    if spec['freeze_at'] == 1:
+        cur = jax.lax.stop_gradient(cur)
+
+    stages = {}
+    for si, (stage, n_blocks, _dim_out, _dim_inner, stride,
+             dilation) in enumerate(spec['stages']):
+        for i in range(n_blocks):
+            prefix = '{}_{}'.format(stage, i)
+            cur = bottleneck_block(
+                cur, params, state, updates, prefix,
+                stride=stride if i == 0 else 1,
+                dilation=dilation,
+                stride_1x1=spec['stride_1x1'],
+                train=train, dtype=dtype)
+        stages[stage] = cur
+        # reference freezes by StopGradient at stage boundaries
+        # (FREEZE_AT semantics, reference ResNet.py:100-108)
+        if spec['freeze_at'] == si + 2:
+            cur = jax.lax.stop_gradient(cur)
+            stages[stage] = cur
+
+    if return_stages:
+        return cur, stages, updates
+    return cur, updates

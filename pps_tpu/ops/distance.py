@@ -1,0 +1,57 @@
+"""Pairwise distance ops.
+
+TPU-native replacement for the reference's ``PairWiseDistance`` CUDA op
+(/root/reference/detectron/ops/pairwise_distance_op.cu) and the numpy
+evaluator distmat (reference datasets/reid_dataset_evaluator.py:244-272).
+
+The expand-formula ``|x|^2 + |y|^2 - 2 x.y^T`` routes the O(N^2 D) work
+through a single MXU matmul; XLA fuses the rank-1 additions.  Autodiff of
+this formula is mathematically identical to the reference's hand-written
+gradient kernel (sum over 2(x_p - x_q)(dZ[p,q] + dZ[q,p])), so no custom
+VJP is needed.  For very large galleries use ``euclidean_distmat`` which
+tiles the computation over query blocks to bound memory.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dist(x, y=None):
+    """Squared euclidean distances between all row pairs.
+
+    Z[p, q] = ||x_p - y_q||^2, shape [N, M].  y defaults to x (the
+    PairWiseDistance op case, used by the batch-hard triplet loss).
+    """
+    if y is None:
+        y = x
+    xx = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+    yy = jnp.sum(jnp.square(y), axis=1, keepdims=True)
+    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    return xx + yy.T - 2.0 * xy
+
+
+@functools.partial(jax.jit, static_argnames=('block_q',))
+def euclidean_distmat(q, g, block_q=1024):
+    """Euclidean (sqrt) distance matrix [Nq, Ng] with non-negativity clamp,
+    matching reference compute_dist semantics
+    (reference datasets/reid_dataset_evaluator.py:264-272).
+
+    Tiled over query blocks with lax.map so a 100k x 100k gallery never
+    materializes intermediate squares beyond one [block_q, Ng] tile.
+    """
+    nq = q.shape[0]
+    pad = (-nq) % block_q
+    qp = jnp.pad(q, ((0, pad), (0, 0)))
+    gg = jnp.sum(jnp.square(g), axis=1)
+
+    def one_block(qb):
+        sq = jnp.sum(jnp.square(qb), axis=1, keepdims=True)
+        d2 = sq + gg[None, :] - 2.0 * jnp.dot(
+            qb, g.T, preferred_element_type=jnp.float32)
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    blocks = qp.reshape(-1, block_q, q.shape[1])
+    out = jax.lax.map(one_block, blocks)
+    return out.reshape(-1, g.shape[0])[:nq]

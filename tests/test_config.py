@@ -1,0 +1,69 @@
+"""Config system tests (modeled on reference tests/test_cfg.py)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from pps_tpu import config as core_config
+from pps_tpu.config import cfg
+
+
+def test_defaults():
+    assert cfg.REID.BPM_DIM == 256
+    assert cfg.SOLVER.MOMENTUM == 0.9
+    assert cfg.TRAIN.USE_FLIPPED is True
+
+
+def test_merge_cfg_from_list():
+    opts = ['TRAIN.SCALES', '[100]', 'MODEL.TYPE', 'generalized_reid',
+            'REID.P', '4', 'SOLVER.BASE_LR', '0.02']
+    core_config.merge_cfg_from_list(opts)
+    assert type(cfg.TRAIN.SCALES) is tuple
+    assert cfg.TRAIN.SCALES[0] == 100
+    assert cfg.MODEL.TYPE == 'generalized_reid'
+    assert cfg.REID.P == 4
+    assert cfg.SOLVER.BASE_LR == 0.02
+
+
+def test_merge_cfg_from_file_reference_yaml():
+    """The shipped reference flagship yaml must load unchanged."""
+    ref_yaml = '/root/reference/configs/market1501/pps_crm_triplet_R-50_1x.yaml'
+    if not os.path.exists(ref_yaml):
+        pytest.skip('reference not mounted')
+    core_config.merge_cfg_from_file(ref_yaml)
+    assert cfg.MODEL.TYPE == 'generalized_reid'
+    assert cfg.MODEL.NUM_CLASSES == 752
+    assert cfg.REID.BPM_STRIP_NUM == 5
+    assert cfg.REID.BPM_DIM == 128
+    assert cfg.REID.CRM is True
+    assert cfg.REID.TRIPLET_LOSS_CROSS is True
+    assert cfg.SOLVER.STEPS == [0, 50, 60, 70, 80, 90]
+    assert tuple(cfg.REID.SCALE) == (128, 384)
+
+
+def test_immutable():
+    cfg.immutable(True)
+    with pytest.raises(AttributeError):
+        cfg.SOLVER.BASE_LR = 1.0
+    cfg.immutable(False)
+    cfg.SOLVER.BASE_LR = 1.0
+    assert cfg.SOLVER.BASE_LR == 1.0
+
+
+def test_deprecated_detection_keys_ignored():
+    import yaml
+    y = {'MRCNN': {'WEIGHT_LOSS_MASK': 1.0}, 'MODEL': {'MASK_ON': True}}
+    with tempfile.NamedTemporaryFile('w', suffix='.yaml',
+                                     delete=False) as f:
+        yaml.dump(y, f)
+        name = f.name
+    core_config.merge_cfg_from_file(name)  # must not raise
+    os.remove(name)
+
+
+def test_pixel_means_coercion():
+    core_config.merge_cfg_from_list(['PIXEL_MEANS', '[[[1.0, 2.0, 3.0]]]'])
+    assert isinstance(cfg.PIXEL_MEANS, np.ndarray)
+    assert cfg.PIXEL_MEANS.shape == (1, 1, 3)
