@@ -1,0 +1,119 @@
+"""Dataset-level re-ID evaluation driver.
+
+Mirrors the reference evaluator's protocol and *log format* — the
+``Single Query:  [mAP: ...]`` lines are parsed by downstream tooling, so
+the format is an API (reference datasets/reid_dataset_evaluator.py:29-209,
+utils docs SURVEY.md section 5).
+
+Inputs are decoupled from the dataset object: the caller passes features
+plus per-image (id, cam, mark) arrays, where mark 0=query, 1=gallery,
+2=multi-query (reference json_dataset.py:149,188-189).
+"""
+
+import logging
+from collections import defaultdict
+
+import numpy as np
+
+from pps_tpu.evaluation import metrics
+from pps_tpu.evaluation.rerank import re_ranking
+
+logger = logging.getLogger(__name__)
+
+# Market-1501 CMC protocol for all datasets (reference :34-37)
+CMC_KWARGS = dict(separate_camera_set=False, single_gallery_shot=False,
+                  first_match_break=True)
+
+
+def parse_im_name(im_name, parse_type='id'):
+    """Person id / cam from an image file name (chars [0:8] / [9:13];
+    reference reid_dataset_evaluator.py:224-231)."""
+    assert parse_type in ('id', 'cam')
+    if parse_type == 'id':
+        return int(im_name[:8])
+    return int(im_name[9:13])
+
+
+def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
+             distmat_fn=None):
+    """Compute mAP/CMC for single query, multi query and re-ranked variants.
+
+    Args:
+      feat: [N, D] embeddings for the full test set (query+gallery+mq).
+      ids, cams, marks: [N] arrays.
+      distmat_fn: optional callable (q, g) -> distmat to route the distance
+        computation through the TPU kernels; defaults to numpy.
+    Returns a dict of results.
+    """
+    feat = np.asarray(feat)
+    ids = np.asarray(ids)
+    cams = np.asarray(cams)
+    marks = np.asarray(marks)
+    dist_fn = distmat_fn or (
+        lambda a, b: metrics.compute_dist(a, b, 'euclidean'))
+
+    q_inds = marks == 0
+    g_inds = marks == 1
+    mq_inds = marks == 2
+
+    def compute_score(dist_mat, query_ids, gallery_ids, query_cams,
+                      gallery_cams):
+        m_ap = metrics.mean_ap(dist_mat, query_ids, gallery_ids, query_cams,
+                               gallery_cams)
+        cmc_scores = metrics.cmc(dist_mat, query_ids, gallery_ids,
+                                 query_cams, gallery_cams, topk=10,
+                                 **CMC_KWARGS)
+        return m_ap, cmc_scores
+
+    def print_scores(label, m_ap, cmc_scores):
+        print('{:<30}'.format(label), end='')
+        print('[mAP: {:5.2%}], [cmc1: {:5.2%}], [cmc5: {:5.2%}], '
+              '[cmc10: {:5.2%}]'.format(m_ap, cmc_scores[0], cmc_scores[4],
+                                        cmc_scores[9]))
+
+    results = {}
+
+    q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
+    m_ap, cmc_scores = compute_score(q_g_dist, ids[q_inds], ids[g_inds],
+                                     cams[q_inds], cams[g_inds])
+    print_scores('Single Query:', m_ap, cmc_scores)
+    results['single'] = (m_ap, cmc_scores)
+
+    mq_feat = None
+    mq_keys = None
+    if np.any(mq_inds):
+        mq_ids = ids[mq_inds]
+        mq_cams = cams[mq_inds]
+        grouped = defaultdict(list)
+        for ind, (pid, cam) in enumerate(zip(mq_ids, mq_cams)):
+            grouped[(pid, cam)].append(ind)
+        mq_keys = list(grouped.keys())
+        pool = np.mean if pool_type == 'average' else np.max
+        mq_feat = np.stack([
+            pool(feat[mq_inds][grouped[k]], axis=0) for k in mq_keys])
+        mq_g_dist = np.asarray(dist_fn(mq_feat, feat[g_inds]))
+        mq_map, mq_cmc = compute_score(
+            mq_g_dist, np.array([k[0] for k in mq_keys]), ids[g_inds],
+            np.array([k[1] for k in mq_keys]), cams[g_inds])
+        print_scores('Multi Query:', mq_map, mq_cmc)
+        results['multi'] = (mq_map, mq_cmc)
+
+    if to_re_rank:
+        q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
+        g_g_dist = np.asarray(dist_fn(feat[g_inds], feat[g_inds]))
+        rr = re_ranking(q_g_dist, q_q_dist, g_g_dist)
+        rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
+                                       cams[q_inds], cams[g_inds])
+        print_scores('Re-ranked Single Query:', rr_map, rr_cmc)
+        results['single_rerank'] = (rr_map, rr_cmc)
+
+        if mq_feat is not None:
+            mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
+            rr_mq = re_ranking(mq_g_dist, mq_mq_dist, g_g_dist)
+            rr_mq_map, rr_mq_cmc = compute_score(
+                rr_mq, np.array([k[0] for k in mq_keys]), ids[g_inds],
+                np.array([k[1] for k in mq_keys]), cams[g_inds])
+            print_scores('Re-ranked Multi Query:', rr_mq_map, rr_mq_cmc)
+            results['multi_rerank'] = (rr_mq_map, rr_mq_cmc)
+
+    return results

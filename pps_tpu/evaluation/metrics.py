@@ -1,0 +1,151 @@
+"""Re-ID retrieval metrics: CMC and mAP.
+
+Numerics contract (reference datasets/reid_dataset_evaluator.py):
+
+* mAP uses the *pinned* sklearn-0.18.1 ``average_precision_score``
+  semantics (trapezoidal AUC of the precision-recall curve with distinct
+  score thresholds and an appended (recall=0, precision=1) point) — the
+  definition that matches the Zhong/Zheng Matlab evaluation
+  (reference reid_dataset_evaluator.py:389-407).  The installed sklearn is
+  far newer (step-interpolation AP), so the 0.18.1 math is implemented
+  here from its documented definition.
+* CMC supports separate_camera_set / single_gallery_shot /
+  first_match_break; Market-1501 protocol is (False, False, True)
+  (reference reid_dataset_evaluator.py:34-37, 283-363).
+* Same-id-same-camera gallery entries are excluded per query.
+"""
+
+import numpy as np
+from collections import defaultdict
+
+
+def average_precision_v0_18(y_true, y_score):
+    """sklearn 0.18.1 ``average_precision_score`` for binary labels.
+
+    trapezoidal integral of precision over recall, with thresholds at
+    distinct score values (stable descending sort) and the curve closed
+    with the (recall=0, precision=1) endpoint.
+    """
+    y_true = np.asarray(y_true)
+    y_score = np.asarray(y_score)
+    order = np.argsort(y_score, kind='mergesort')[::-1]
+    y_true = y_true[order].astype(np.float64)
+    y_score = y_score[order]
+
+    distinct = np.where(np.diff(y_score))[0]
+    threshold_idxs = np.r_[distinct, y_true.size - 1]
+    tps = np.cumsum(y_true)[threshold_idxs]
+    fps = 1 + threshold_idxs - tps
+    precision = tps / (tps + fps)
+    recall = tps / tps[-1]
+    last_ind = int(tps.searchsorted(tps[-1]))
+    sl = slice(last_ind, None, -1)
+    precision = np.r_[precision[sl], 1]
+    recall = np.r_[recall[sl], 0]
+    # recall is decreasing -> negative trapezoid
+    return -float(np.trapezoid(precision, recall))
+
+
+def _valid_mask(indices_row, q_id, q_cam, gallery_ids, gallery_cams,
+                separate_camera_set):
+    valid = ((gallery_ids[indices_row] != q_id) |
+             (gallery_cams[indices_row] != q_cam))
+    if separate_camera_set:
+        valid &= gallery_cams[indices_row] != q_cam
+    return valid
+
+
+def mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+            average=True):
+    """mAP over valid queries (reference reid_dataset_evaluator.py:366-439)."""
+    distmat = np.asarray(distmat)
+    m = distmat.shape[0]
+    indices = np.argsort(distmat, axis=1)
+    matches = gallery_ids[indices] == query_ids[:, np.newaxis]
+    aps = np.zeros(m)
+    is_valid_query = np.zeros(m)
+    for i in range(m):
+        valid = _valid_mask(indices[i], query_ids[i], query_cams[i],
+                            gallery_ids, gallery_cams, False)
+        y_true = matches[i, valid]
+        if not np.any(y_true):
+            continue
+        y_score = -distmat[i][indices[i]][valid]
+        is_valid_query[i] = 1
+        aps[i] = average_precision_v0_18(y_true, y_score)
+    if average:
+        n_valid = np.sum(is_valid_query)
+        if n_valid == 0:
+            raise RuntimeError('No valid query')
+        return float(np.sum(aps)) / n_valid
+    return aps, is_valid_query
+
+
+def cmc(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+        topk=100, separate_camera_set=False, single_gallery_shot=False,
+        first_match_break=False, average=True):
+    """Cumulative matching characteristics
+    (reference reid_dataset_evaluator.py:283-363)."""
+    distmat = np.asarray(distmat)
+    m = distmat.shape[0]
+    indices = np.argsort(distmat, axis=1)
+    matches = gallery_ids[indices] == query_ids[:, np.newaxis]
+    ret = np.zeros([m, topk])
+    is_valid_query = np.zeros(m)
+    num_valid_queries = 0
+    for i in range(m):
+        valid = _valid_mask(indices[i], query_ids[i], query_cams[i],
+                            gallery_ids, gallery_cams, separate_camera_set)
+        if not np.any(matches[i, valid]):
+            continue
+        is_valid_query[i] = 1
+        if single_gallery_shot:
+            repeat = 100
+            gids = gallery_ids[indices[i][valid]]
+            inds = np.where(valid)[0]
+            ids_dict = defaultdict(list)
+            for j, x in zip(inds, gids):
+                ids_dict[x].append(j)
+        else:
+            repeat = 1
+        for _ in range(repeat):
+            if single_gallery_shot:
+                # randomly pick one gallery instance per id
+                sampled = np.zeros(len(valid), dtype=bool)
+                for _, idxs in ids_dict.items():
+                    sampled[np.random.choice(idxs)] = True
+                index = np.nonzero(matches[i, valid & sampled])[0]
+            else:
+                index = np.nonzero(matches[i, valid])[0]
+            delta = 1.0 / (len(index) * repeat)
+            for j, k in enumerate(index):
+                if k - j >= topk:
+                    break
+                if first_match_break:
+                    ret[i, k - j] += 1
+                    break
+                ret[i, k - j] += delta
+        num_valid_queries += 1
+    if num_valid_queries == 0:
+        raise RuntimeError('No valid query')
+    ret = ret.cumsum(axis=1)
+    if average:
+        return np.sum(ret, axis=0) / num_valid_queries
+    return ret, is_valid_query
+
+
+def compute_dist(array1, array2, dist_type='euclidean'):
+    """All-pairs distance in numpy (golden path; the TPU path uses
+    pps_tpu.ops.distance).  Matches reference compute_dist clamping."""
+    assert dist_type in ('cosine', 'euclidean')
+    if dist_type == 'cosine':
+        a1 = array1 / np.maximum(
+            np.linalg.norm(array1, axis=1, keepdims=True), 1e-12)
+        a2 = array2 / np.maximum(
+            np.linalg.norm(array2, axis=1, keepdims=True), 1e-12)
+        return np.matmul(a1, a2.T)
+    sq1 = np.sum(np.square(array1), axis=1)[:, np.newaxis]
+    sq2 = np.sum(np.square(array2), axis=1)[np.newaxis, :]
+    squared = -2 * np.matmul(array1, array2.T) + sq1 + sq2
+    np.maximum(squared, 0, out=squared)
+    return np.sqrt(squared)

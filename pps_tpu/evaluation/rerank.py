@@ -1,0 +1,147 @@
+"""k-reciprocal re-ranking (Zhong et al., CVPR 2017).
+
+Fresh implementation of the algorithm used by the reference
+(/root/reference/detectron/datasets/reid_dataset_evaluator.py:442-519) with
+identical numerics but vectorized set logic:
+
+1. squared distances, column-max normalized, transposed
+2. k-reciprocal neighbor sets R(i, k1) with the 2/3-overlap expansion
+3. gaussian-weighted sparse membership vectors V, L1-normalized
+4. local query expansion: V <- mean of V over the k2 nearest neighbors
+5. jaccard distance from the inverted index; blend with original dist
+
+Default hyperparameters k1=20, k2=6, lambda=0.3 match the reference.
+
+``rerank_distmat_jax`` provides the dense-mask on-device formulation: the
+sparse k-reciprocal sets become boolean masks so the whole pipeline is
+XLA-compilable (SURVEY.md section 5, long-context analog).
+"""
+
+import numpy as np
+
+
+def _k_reciprocal_neighbors(initial_rank, i, k):
+    forward = initial_rank[i, :k + 1]
+    backward = initial_rank[forward, :k + 1]
+    rows = np.where(backward == i)[0]
+    return forward[rows]
+
+
+def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3):
+    """Numpy golden implementation; returns the re-ranked [Nq, Ng] distmat."""
+    query_num = q_g_dist.shape[0]
+    all_num = query_num + q_g_dist.shape[1]
+
+    original_dist = np.concatenate([
+        np.concatenate([q_q_dist, q_g_dist], axis=1),
+        np.concatenate([q_g_dist.T, g_g_dist], axis=1),
+    ], axis=0)
+    original_dist = np.power(original_dist, 2).astype(np.float32)
+    original_dist = np.transpose(
+        original_dist / np.max(original_dist, axis=0))
+    initial_rank = np.argsort(original_dist).astype(np.int32)
+
+    V = np.zeros_like(original_dist, dtype=np.float32)
+    half_k1 = int(np.around(k1 / 2.0))
+    for i in range(all_num):
+        base = _k_reciprocal_neighbors(initial_rank, i, k1)
+        expansion = base
+        for candidate in base:
+            cand_set = _k_reciprocal_neighbors(initial_rank, candidate,
+                                               half_k1)
+            if len(np.intersect1d(cand_set, base)) > (2.0 / 3) * len(
+                    cand_set):
+                expansion = np.append(expansion, cand_set)
+        expansion = np.unique(expansion)
+        weight = np.exp(-original_dist[i, expansion])
+        V[i, expansion] = weight / np.sum(weight)
+
+    original_dist = original_dist[:query_num]
+    if k2 != 1:
+        V = np.mean(V[initial_rank[:, :k2], :], axis=1)
+
+    inv_index = [np.where(V[:, g] != 0)[0] for g in range(all_num)]
+
+    jaccard_dist = np.zeros_like(original_dist, dtype=np.float32)
+    for i in range(query_num):
+        temp_min = np.zeros((all_num,), dtype=np.float32)
+        nonzero = np.where(V[i, :] != 0)[0]
+        for j in nonzero:
+            rows = inv_index[j]
+            temp_min[rows] += np.minimum(V[i, j], V[rows, j])
+        jaccard_dist[i] = 1 - temp_min / (2.0 - temp_min)
+
+    final = jaccard_dist * (1 - lambda_value) + original_dist * lambda_value
+    return final[:, query_num:]
+
+
+def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
+                       lambda_value=0.3):
+    """XLA-friendly dense-mask formulation (same math, runs under jit).
+
+    The data-dependent k-reciprocal sets become [N, N] boolean masks:
+      rank_pos[i, j] = position of j in i's sorted neighbor list
+      in_topk[i, j]  = rank_pos[i, j] <= k
+      reciprocal     = in_topk & in_topk.T  (restricted to i's top-k)
+    and the 2/3-overlap expansion is one masked matmul.  O(N^2) memory —
+    intended for on-device galleries up to ~20k (Market/Duke scale); the
+    numpy path remains the golden reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    query_num = q_g_dist.shape[0]
+    top = jnp.concatenate([q_q_dist, q_g_dist], axis=1)
+    bottom = jnp.concatenate([q_g_dist.T, g_g_dist], axis=1)
+    od = jnp.concatenate([top, bottom], axis=0)
+    od = jnp.square(od).astype(jnp.float32)
+    od = (od / jnp.max(od, axis=0)).T
+    n = od.shape[0]
+
+    order = jnp.argsort(od, axis=1)
+    ranks = jnp.argsort(order, axis=1)  # rank_pos[i, j]
+
+    def reciprocal_mask(k):
+        in_topk = ranks <= k  # includes self (rank 0)
+        return in_topk & in_topk.T & in_topk
+
+    base = reciprocal_mask(k1)
+    half = reciprocal_mask(int(np.around(k1 / 2.0)))
+    # candidate expansion: candidate c's half-set is added to row i when
+    # |half[c] & base[i]| > 2/3 |half[c]|, for c in base[i]
+    inter = jnp.einsum('ck,ik->ic', half.astype(jnp.float32),
+                       base.astype(jnp.float32))
+    cand_sz = jnp.sum(half, axis=1).astype(jnp.float32)
+    accept = base & (inter > (2.0 / 3.0) * cand_sz[None, :])
+    expansion = base | (
+        jnp.einsum('ic,ck->ik', accept.astype(jnp.float32),
+                   half.astype(jnp.float32)) > 0)
+
+    weight = jnp.where(expansion, jnp.exp(-od), 0.0)
+    V = weight / jnp.sum(weight, axis=1, keepdims=True)
+
+    if k2 != 1:
+        topk2 = ranks < k2
+        V = (topk2.astype(jnp.float32) @ V) / k2
+
+    Vq = V[:query_num]
+    # jaccard: temp_min[i, g] = sum_j min(Vq[i, j], V[g, j]).
+    # V rows are sparse (~k1*k2 nonzeros); materializing [Nq, N, N] would
+    # blow HBM, so keep each query row as its top-S (value, index) pairs and
+    # gather the matching V columns per query (the dense-mask analog of the
+    # reference's inverted index, reid_dataset_evaluator.py:497-511).
+    s_keep = min(n, 4 * (k1 + 1) * max(k2, 1))
+    vals, idxs = jax.lax.top_k(Vq, s_keep)           # [Nq, S]
+    vt = V.T                                         # [N(j), N(g)]
+
+    def one_query(args):
+        v_i, j_i = args
+        cols = vt[j_i]                               # [S, N]
+        mins = jnp.minimum(v_i[:, None], cols)
+        mins = jnp.where((v_i > 0)[:, None], mins, 0.0)
+        return jnp.sum(mins, axis=0)                 # [N]
+
+    temp_min = jax.lax.map(one_query, (vals, idxs), batch_size=128)
+    jaccard = 1.0 - temp_min / (2.0 - temp_min)
+    final = jaccard * (1 - lambda_value) + od[:query_num] * lambda_value
+    return final[:, query_num:]
