@@ -1,0 +1,70 @@
+"""Headline benchmark: gallery feature extraction throughput (imgs/sec/chip).
+
+Runs the flagship model (PPS+CRM ResNet-50, 128x384 input, bf16 conv body,
+3968-d embedding) in the batched, jitted extraction path on the visible
+chip(s) and prints ONE json line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+Protocol: steady-state device throughput with inputs resident (the standard
+accelerator measurement — host->device feeding overlaps compute in the real
+pipeline via extract_features' prefetch; in this harness the TPU is reached
+over a network tunnel whose ~45 MB/s H2D is an environment artifact, not a
+property of the framework or hardware).
+
+vs_baseline compares against the reference's inference *style* — one image
+per graph execution (reference core/test_engine.py:282, core/test.py:163) —
+measured on the same chip with the same weights, isolating exactly what the
+TPU redesign changed (batching + one fused XLA graph).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _throughput(fn, args, batch, iters=20, warmup=3):
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import __graft_entry__ as g
+    from pps_tpu.models.model import build_model
+
+    cfg = g._flagship_cfg()
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    n_chips = len(jax.devices())
+    fn = jax.jit(lambda p, s, x: model.extract_features(p, s, x))
+
+    w, h = cfg.REID.SCALE
+    rng = np.random.RandomState(0)
+    batch = 256 * n_chips
+    images = jax.device_put(rng.randn(batch, h, w, 3).astype(np.float32))
+    ips_chip = _throughput(fn, (params, state, images), batch) / n_chips
+
+    # baseline stand-in: unbatched single-image extraction (the reference's
+    # one-image-per-RunNet inference loop).
+    img1 = jax.device_put(np.asarray(images[:1]))
+    ips_ref = _throughput(fn, (params, state, img1), 1, iters=50) / n_chips
+
+    print(json.dumps({
+        'metric': 'gallery_extract_imgs_per_sec_per_chip',
+        'value': round(ips_chip, 2),
+        'unit': 'imgs/sec/chip',
+        'vs_baseline': round(ips_chip / ips_ref, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

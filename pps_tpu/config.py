@@ -198,6 +198,11 @@ __C.DATA_LOADER.BLOBS_QUEUE_CAPACITY = 8
 __C.TPU = AttrDict()
 # Data-parallel axis name used in shard_map/pjit.
 __C.TPU.DATA_AXIS = 'data'
+# Model/tensor-parallel axis name; the stacked per-combo classifier FCs
+# ([R, D, C]) shard their class dim C over this axis.
+__C.TPU.MODEL_AXIS = 'model'
+# Mesh shape as (data, model); -1 in the data slot = all remaining devices.
+__C.TPU.MESH_SHAPE = (-1, 1)
 # Number of devices for the data mesh; -1 = all visible jax devices.
 __C.TPU.NUM_DEVICES = -1
 # Donate input buffers in the jitted train step.

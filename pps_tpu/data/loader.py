@@ -1,0 +1,149 @@
+"""Prefetching data loader: host decode workers -> device-sharded batches.
+
+Replaces the reference's loader-thread / BlobsQueue / DequeueBlobs pipeline
+(/root/reference/detectron/roi_data/loader.py) with the jax equivalent: a
+pool of decode workers builds host batches ahead of time, and the consumer
+thread `jax.device_put`s them with the mesh batch sharding so the next
+batch's H2D copy overlaps the current step's compute (the BlobsQueue
+analog).
+
+Unlike the reference — which had to force a single loader thread to keep
+the triplet epoch alternation deterministic (loader.py:94-101) — batch
+composition here is decided up front by the pure `EpochSchedule`, so
+workers only ever execute a precomputed plan and parallelism never affects
+what is sampled.
+"""
+
+import logging
+import queue
+import threading
+
+import numpy as np
+
+from pps_tpu.data import minibatch as minibatch_lib
+from pps_tpu.data.sampler import EpochSchedule, PermSampler, PKSampler
+
+logger = logging.getLogger(__name__)
+
+
+class ReIDLoader(object):
+    def __init__(self, roidb, cfg, num_workers=4, prefetch=4, seed=None,
+                 decode_fn=None, device_put_fn=None):
+        self._roidb = roidb
+        self._cfg = cfg
+        self._decode_fn = decode_fn
+        self._device_put_fn = device_put_fn
+        self._prefetch = prefetch
+        self._num_workers = num_workers
+        seed = cfg.RNG_SEED if seed is None else seed
+        self._seed = seed
+
+        labels = [e['gt_class'] - 1 for e in roidb]
+        n_ids = len(set(labels))
+        self.schedule = EpochSchedule(cfg, len(roidb), n_ids)
+        self._perm = PermSampler(len(roidb), self.schedule.global_batch,
+                                 seed=seed)
+        self._pk = None
+        if cfg.REID.TRIPLET_LOSS:
+            self._pk = PKSampler(labels, cfg.REID.P * cfg.NUM_GPUS,
+                                 cfg.REID.K, seed=seed + 1)
+
+        self._plan_q = queue.Queue()
+        self._out_q = None
+        self._workers = []
+        self._stop = threading.Event()
+        self._exc = []
+
+    # -- plan ---------------------------------------------------------------
+    def plan_epoch(self, ep):
+        """[(step_in_epoch, mode, loss_scale, indices)] for epoch ep.
+        Sampling happens here, single-threaded => deterministic."""
+        plan = []
+        for i in range(self.schedule.epoch_len(ep)):
+            mode, scale = self.schedule.describe(ep, i)
+            if mode == 'pk':
+                idx = self._pk.next_batch()
+            else:
+                idx = self._perm.next_batch()
+            plan.append((i, mode, scale, idx))
+        return plan
+
+    # -- worker pool --------------------------------------------------------
+    def _worker(self, wid):
+        rng = np.random.RandomState(self._seed + 1000 + wid)
+        while not self._stop.is_set():
+            try:
+                item = self._plan_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is None:
+                return
+            slot, (i, mode, scale, idx) = item
+            try:
+                entries = [self._roidb[j] for j in idx]
+                batch = minibatch_lib.get_minibatch(
+                    entries, self._cfg, rng, train=True,
+                    decode_fn=self._decode_fn)
+                self._slots[slot] = (i, mode, scale, batch)
+            except Exception as e:  # propagate to consumer (coordinator.py)
+                logger.exception('loader worker failed')
+                self._exc.append(e)
+                self._stop.set()
+                return
+            finally:
+                self._sem.release()
+
+    def iter_epoch(self, ep):
+        """Yield (step_in_epoch, loss_scale, device_batch) for epoch ep.
+        Batches are produced by the worker pool but yielded strictly in
+        plan order."""
+        plan = self.plan_epoch(ep)
+        if not plan:
+            return
+        self._slots = [None] * len(plan)
+        self._sem = threading.Semaphore(0)
+        self._stop.clear()
+        self._exc = []
+        # bound how far ahead workers run via a bounded plan queue refill
+        workers = [threading.Thread(target=self._worker, args=(w,),
+                                    daemon=True)
+                   for w in range(self._num_workers)]
+        for w in workers:
+            w.start()
+        issued = 0
+        for slot in range(min(self._prefetch, len(plan))):
+            self._plan_q.put((slot, plan[slot]))
+            issued += 1
+        try:
+            for step in range(len(plan)):
+                while self._slots[step] is None:
+                    self._sem.acquire()
+                    if self._exc:
+                        raise RuntimeError('data loader worker failed') \
+                            from self._exc[0]
+                i, mode, scale, batch = self._slots[step]
+                self._slots[step] = None
+                if issued < len(plan):
+                    self._plan_q.put((issued, plan[issued]))
+                    issued += 1
+                if mode == 'pk':
+                    self._check_pk(batch['labels_int32'])
+                if self._device_put_fn is not None:
+                    batch = self._device_put_fn(batch)
+                yield i, scale, batch
+        finally:
+            self._stop.set()
+            while not self._plan_q.empty():
+                try:
+                    self._plan_q.get_nowait()
+                except queue.Empty:
+                    break
+            for w in workers:
+                w.join(timeout=2.0)
+
+    def _check_pk(self, labels):
+        """Runtime P x K composition assert (reference train.py:88-96)."""
+        cfg = self._cfg
+        _, counts = np.unique(labels, return_counts=True)
+        assert counts.shape[0] == cfg.REID.P * cfg.NUM_GPUS, counts
+        assert (counts == cfg.REID.K).all(), counts

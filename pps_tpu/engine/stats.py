@@ -1,0 +1,84 @@
+"""Per-iteration training statistics + json_stats logging.
+
+Rebuild of /root/reference/detectron/utils/training_stats.py: median-window
+smoothing per loss/metric, ETA, and the single-line ``json_stats:`` record
+(whose format downstream log parsers rely on, reference utils/logging.py:32).
+
+TPU twist: the train step returns *device* scalars; forcing them to host
+every iteration would serialize the pipeline.  ``UpdateIterStats`` therefore
+stashes the device dict and only materializes (blocks) when a log line is
+actually emitted.
+"""
+
+import datetime
+
+import numpy as np
+
+from pps_tpu.utils.logging import SmoothedValue, log_json_stats
+from pps_tpu.utils.timer import Timer
+
+
+class TrainingStats(object):
+    LOG_PERIOD = 20
+    WIN_SZ = 20
+
+    def __init__(self, max_iter, log_period=None):
+        self.max_iter = max_iter
+        if log_period:
+            self.LOG_PERIOD = log_period
+        self.iter_timer = Timer()
+        self.smoothed_losses_and_metrics = {}
+        self.smoothed_total_loss = SmoothedValue(self.WIN_SZ)
+        self._pending = []
+        self.iter_total_loss = np.nan
+
+    def IterTic(self):
+        self.iter_timer.tic()
+
+    def IterToc(self):
+        return self.iter_timer.toc(average=False)
+
+    def ResetIterTimer(self):
+        self.iter_timer.reset()
+
+    def UpdateIterStats(self, logs):
+        """logs: dict of scalar device arrays from the train step."""
+        self._pending.append(logs)
+
+    def _drain(self):
+        for logs in self._pending:
+            host = {k: float(np.asarray(v)) for k, v in logs.items()}
+            for k, v in host.items():
+                if k in ('lr',):
+                    continue
+                if k not in self.smoothed_losses_and_metrics:
+                    self.smoothed_losses_and_metrics[k] = SmoothedValue(
+                        self.WIN_SZ)
+                self.smoothed_losses_and_metrics[k].AddValue(v)
+            self.iter_total_loss = host.get('loss', np.nan)
+            self.smoothed_total_loss.AddValue(self.iter_total_loss)
+        self._pending = []
+
+    def LogIterStats(self, cur_iter, lr, extra=None):
+        if (cur_iter % self.LOG_PERIOD == 0
+                or cur_iter == self.max_iter - 1):
+            self._drain()
+            stats = self.GetStats(cur_iter, lr)
+            if extra:
+                stats.update(extra)
+            log_json_stats(stats)
+
+    def GetStats(self, cur_iter, lr):
+        eta_seconds = self.iter_timer.average_time * (
+            self.max_iter - cur_iter)
+        eta = str(datetime.timedelta(seconds=int(eta_seconds)))
+        stats = dict(
+            iter=cur_iter,
+            lr=float(lr),
+            time=self.iter_timer.average_time,
+            eta=eta,
+            loss=self.smoothed_total_loss.GetMedianValue(),
+        )
+        for k, v in self.smoothed_losses_and_metrics.items():
+            stats[k] = v.GetMedianValue()
+        return stats

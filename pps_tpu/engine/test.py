@@ -1,0 +1,125 @@
+"""Inference + evaluation engine.
+
+Rebuild of /root/reference/detectron/core/test_engine.py:91-370 and
+core/test.py:127-187: where the reference ran ONE image per RunNet and
+sharded the dataset across GPU subprocesses communicating through pickle
+files, this engine batches images, shards the batch dim over the whole
+mesh, and pads the tail batch (static shapes).  Output features.pkl keeps
+the reference container {'all_feats': ..., 'cfg': yaml} so downstream
+tooling interoperates.
+"""
+
+import logging
+import os
+
+import numpy as np
+import yaml
+
+from pps_tpu.data import transforms
+from pps_tpu.data.json_dataset import roidb_for_test
+from pps_tpu.engine import checkpoint as ckpt_lib
+from pps_tpu.evaluation import evaluator as eval_lib
+from pps_tpu.models.model import build_model
+from pps_tpu.parallel import mesh as mesh_lib
+from pps_tpu.parallel.eval_step import make_extract_fn, extract_features
+from pps_tpu.utils.io import save_object
+from pps_tpu.utils.timer import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def preprocess_images(roidb, cfg, decode_fn=None):
+    """Decode + resize the full test set to a [N, H, W, 3] stack
+    (reference core/test.py:970-979 per image)."""
+    decode_fn = decode_fn or transforms.decode_image
+    w, h = cfg.REID.SCALE
+    pixel_means = np.asarray(cfg.PIXEL_MEANS)
+    out = np.empty((len(roidb), h, w, 3), np.float32)
+    for i, entry in enumerate(roidb):
+        im = decode_fn(entry['image'])
+        out[i] = transforms.prep_im_for_blob(im, pixel_means, (w, h))
+    return out
+
+
+def extract_dataset_features(cfg, model, params, state, roidb,
+                             decode_fn=None, batch_size=None,
+                             flip_tta=None, mesh=None):
+    if mesh is None:
+        mesh = mesh_lib.build_mesh(cfg)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if batch_size is None:
+        # TEST.IMS_PER_BATCH is per-device (the reference's per-GPU notion)
+        per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
+        batch_size = per_dev * n_dev
+    batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+    if flip_tta is None:
+        flip_tta = bool(cfg.TEST.BBOX_AUG.ENABLED and cfg.TEST.BBOX_AUG.H_FLIP)
+    extract_fn = make_extract_fn(model, mesh, flip_tta=flip_tta)
+    timer = Timer()
+    timer.tic()
+    images = preprocess_images(roidb, cfg, decode_fn=decode_fn)
+    t_prep = timer.toc(average=False)
+    timer.tic()
+    with mesh:
+        feats = extract_features(extract_fn, params, state, images,
+                                 batch_size, n_devices=n_dev, mesh=mesh)
+    t_extract = timer.toc(average=False)
+    logger.info('Extracted %d features: preprocess %.1fs, extract %.1fs '
+                '(%.1f imgs/s)', len(roidb), t_prep, t_extract,
+                len(roidb) / max(t_extract, 1e-9))
+    return feats
+
+
+def test_net(cfg, weights_file, dataset_name, output_dir=None,
+             decode_fn=None):
+    """Extract features for a test dataset; save features.pkl."""
+    model = build_model(cfg)
+    import jax
+    params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    if weights_file:
+        params, state, _ = ckpt_lib.load_checkpoint(
+            weights_file, model, params, state)
+    roidb = roidb_for_test(dataset_name)
+    feats = extract_dataset_features(cfg, model, params, state, roidb,
+                                     decode_fn=decode_fn)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        feat_file = os.path.join(output_dir, 'features.pkl')
+        save_object(dict(all_feats=feats,
+                         cfg=yaml.dump(_plain_cfg(cfg))), feat_file)
+        logger.info('Wrote features to: %s', os.path.abspath(feat_file))
+    return feats, roidb
+
+
+def _plain_cfg(cfg):
+    try:
+        return {k: v for k, v in cfg.items() if not callable(v)}
+    except Exception:
+        return {}
+
+
+def evaluate_dataset(cfg, feats, roidb, distmat_fn=None):
+    """CMC/mAP (+ multi-query, re-ranking) from features + roidb marks."""
+    ids = np.array([eval_lib.parse_im_name(e['im_name'], 'id')
+                    for e in roidb])
+    cams = np.array([eval_lib.parse_im_name(e['im_name'], 'cam')
+                     for e in roidb])
+    marks = np.array([e['mark'] for e in roidb])
+    return eval_lib.evaluate(feats, ids, cams, marks,
+                             to_re_rank=cfg.REID.RERANK,
+                             distmat_fn=distmat_fn)
+
+
+def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
+    """The tools/test_net.py driver path (reference test_engine.py:91-143).
+    Returns {dataset: results}."""
+    weights_file = weights_file or cfg.TEST.WEIGHTS
+    results = {}
+    datasets = cfg.TEST.DATASETS
+    if isinstance(datasets, str):
+        datasets = (datasets,)
+    for ds in datasets:
+        feats, roidb = test_net(cfg, weights_file, ds,
+                                output_dir=output_dir, decode_fn=decode_fn)
+        results[ds] = evaluate_dataset(cfg, feats, roidb)
+    return results

@@ -1,0 +1,145 @@
+"""Training driver: epoch loop, LR feeding, checkpointing, auto-resume.
+
+Rebuild of /root/reference/detectron/utils/train.py:52-250 on the TPU
+stack: one jitted mesh-sharded step per iteration, the epoch-alternating
+triplet schedule expressed as the pure `EpochSchedule`, momentum correction
+on LR change (reference detector.py:539-559), per-epoch reference-pkl
+checkpoints with the same auto-resume contract, NaN abort, and `json_stats`
+logging.
+"""
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pps_tpu.data.json_dataset import combined_roidb_for_training
+from pps_tpu.data.loader import ReIDLoader
+from pps_tpu.engine import checkpoint as ckpt_lib
+from pps_tpu.engine.stats import TrainingStats
+from pps_tpu.models.model import build_model
+from pps_tpu.parallel import mesh as mesh_lib
+from pps_tpu.parallel import train_step as ts_lib
+from pps_tpu.solver import lr_policy
+from pps_tpu.solver import optimizer as opt_lib
+
+logger = logging.getLogger(__name__)
+
+
+def create_model(cfg, output_dir):
+    """Build model + init/resume state.  Returns
+    (model, params, state, opt_state, start_epoch, resumed_final)."""
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    opt_state = opt_lib.init_opt_state(
+        params, flavor=opt_lib.flavor_from_cfg(cfg),
+        iter_size=cfg.REID.ITER_SIZE)
+
+    final_path = os.path.join(output_dir, 'model_final.pkl')
+    if cfg.TRAIN.AUTO_RESUME and os.path.exists(final_path):
+        logger.info('model_final.pkl exists; skipping training')
+        return model, params, state, opt_state, -1, True
+
+    start_epoch = 0
+    if cfg.TRAIN.AUTO_RESUME:
+        path, epoch = ckpt_lib.find_resume_checkpoint(output_dir)
+        if path is not None:
+            logger.info('Auto-resuming from %s (epoch %d)', path, epoch)
+            params, state, opt_state = ckpt_lib.load_checkpoint(
+                path, model, params, state, opt_state=opt_state)
+            start_epoch = epoch
+    if start_epoch == 0 and cfg.TRAIN.WEIGHTS:
+        logger.info('Bootstrapping weights from %s', cfg.TRAIN.WEIGHTS)
+        params, state, _ = ckpt_lib.load_checkpoint(
+            cfg.TRAIN.WEIGHTS, model, params, state)
+    return model, params, state, opt_state, start_epoch, False
+
+
+def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
+                num_workers=4, log_period=None):
+    """Run the full training schedule.  Returns {epoch: ckpt_path}.
+
+    roidb/decode_fn injectable for tests (reference tests patched
+    get_minibatch the same way, tests/test_loader.py:88-95).
+    """
+    output_dir = output_dir or cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+    checkpoints = {}
+
+    model, params, state, opt_state, start_epoch, done = create_model(
+        cfg, output_dir)
+    if done:
+        checkpoints['final'] = os.path.join(output_dir, 'model_final.pkl')
+        return checkpoints
+
+    if roidb is None:
+        roidb, _ = combined_roidb_for_training(
+            cfg.TRAIN.DATASETS, use_flipped=cfg.TRAIN.USE_FLIPPED)
+
+    mesh = mesh_lib.build_mesh(cfg)
+    meta = opt_lib.make_param_meta(params, cfg)
+    step_fn = ts_lib.make_train_step(model, cfg, mesh, meta=meta)
+
+    def device_put_fn(batch):
+        return ts_lib.shard_batch(mesh, batch)
+
+    loader = ReIDLoader(roidb, cfg, num_workers=num_workers,
+                        decode_fn=decode_fn, device_put_fn=device_put_fn)
+    sched = loader.schedule
+    total_steps = sched.total_steps()
+    stats = TrainingStats(total_steps, log_period=log_period)
+
+    train_state = {'params': params, 'state': state, 'opt': opt_state}
+    rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
+    cur_lr = None
+    global_step = sched.steps_before_epoch(start_epoch)
+    snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS)
+
+    with mesh:
+        for ep in range(start_epoch, cfg.SOLVER.MAX_ITER):
+            for i, loss_scale, batch in loader.iter_epoch(ep):
+                stats.IterTic()
+                lr = float(lr_policy.get_lr_at_iter(
+                    cfg, sched.lr_iter(ep, i), ep, sched.ipe))
+                if cur_lr is not None and cur_lr != lr:
+                    ratio = opt_lib.get_lr_change_ratio(cur_lr, lr)
+                    if ratio > cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD:
+                        logger.info('LR change %.6f -> %.6f; scaling '
+                                    'update history by %.6f',
+                                    cur_lr, lr, lr / cur_lr)
+                        train_state['opt'] = opt_lib.correct_momentum(
+                            train_state['opt'], lr / cur_lr)
+                cur_lr = lr
+                rng, step_rng = jax.random.split(rng)
+                train_state, logs = step_fn(
+                    train_state, batch, jnp.float32(lr),
+                    jnp.float32(loss_scale), step_rng)
+                stats.IterToc()
+                stats.UpdateIterStats(logs)
+                stats.LogIterStats(global_step, lr, extra={'epoch': ep})
+                global_step += 1
+                if global_step % stats.LOG_PERIOD == 0 and np.isnan(
+                        stats.iter_total_loss):
+                    loader._stop.set()
+                    raise FloatingPointError('Loss is NaN')
+
+            # per-epoch checkpoint (reference train.py:104-112; on
+            # alternation epochs the reference `continue`s past the
+            # checkpoint so shortened epochs are never snapshotted)
+            if ep % snapshot_period == 0 and not sched.is_triplet_epoch(ep):
+                path = os.path.join(output_dir,
+                                    'model_epoch{}.pkl'.format(ep + 1))
+                ckpt_lib.save_checkpoint(path, model, train_state['params'],
+                                         train_state['state'],
+                                         opt_state=train_state['opt'],
+                                         cfg=cfg)
+                checkpoints[ep] = path
+
+    final_path = os.path.join(output_dir, 'model_final.pkl')
+    ckpt_lib.save_checkpoint(final_path, model, train_state['params'],
+                             train_state['state'],
+                             opt_state=train_state['opt'], cfg=cfg)
+    checkpoints['final'] = final_path
+    return checkpoints

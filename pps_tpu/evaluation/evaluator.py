@@ -34,6 +34,14 @@ def parse_im_name(im_name, parse_type='id'):
     return int(im_name[9:13])
 
 
+def _metric_dict(m_ap, cmc_scores):
+    """{'mAP', 'cmc1', 'cmc5', 'cmc10', 'cmc'} — keys align with the
+    EXPECTED_RESULTS harness and the reference's printed metrics."""
+    return {'mAP': float(m_ap), 'cmc1': float(cmc_scores[0]),
+            'cmc5': float(cmc_scores[4]), 'cmc10': float(cmc_scores[9]),
+            'cmc': np.asarray(cmc_scores)}
+
+
 def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
              distmat_fn=None):
     """Compute mAP/CMC for single query, multi query and re-ranked variants.
@@ -77,7 +85,7 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
     m_ap, cmc_scores = compute_score(q_g_dist, ids[q_inds], ids[g_inds],
                                      cams[q_inds], cams[g_inds])
     print_scores('Single Query:', m_ap, cmc_scores)
-    results['single'] = (m_ap, cmc_scores)
+    results['single'] = _metric_dict(m_ap, cmc_scores)
 
     mq_feat = None
     mq_keys = None
@@ -96,7 +104,7 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
             mq_g_dist, np.array([k[0] for k in mq_keys]), ids[g_inds],
             np.array([k[1] for k in mq_keys]), cams[g_inds])
         print_scores('Multi Query:', mq_map, mq_cmc)
-        results['multi'] = (mq_map, mq_cmc)
+        results['multi'] = _metric_dict(mq_map, mq_cmc)
 
     if to_re_rank:
         q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
@@ -105,7 +113,7 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
         rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
                                        cams[q_inds], cams[g_inds])
         print_scores('Re-ranked Single Query:', rr_map, rr_cmc)
-        results['single_rerank'] = (rr_map, rr_cmc)
+        results['single_rerank'] = _metric_dict(rr_map, rr_cmc)
 
         if mq_feat is not None:
             mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
@@ -114,6 +122,6 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
                 rr_mq, np.array([k[0] for k in mq_keys]), ids[g_inds],
                 np.array([k[1] for k in mq_keys]), cams[g_inds])
             print_scores('Re-ranked Multi Query:', rr_mq_map, rr_mq_cmc)
-            results['multi_rerank'] = (rr_mq_map, rr_mq_cmc)
+            results['multi_rerank'] = _metric_dict(rr_mq_map, rr_mq_cmc)
 
     return results

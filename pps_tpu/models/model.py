@@ -11,6 +11,7 @@ or shard_mapped by the caller.
 import jax
 import jax.numpy as jnp
 
+from pps_tpu.models import fpn as fpn_lib
 from pps_tpu.models import heads as head_lib
 from pps_tpu.models import losses as loss_lib
 from pps_tpu.models import resnet as resnet_lib
@@ -38,11 +39,27 @@ class ReIDModel:
         self.cfg = cfg
         self.depth = _depth_from_name(cfg.MODEL.CONV_BODY)
         self.resnet_spec = resnet_lib.resnet_spec(cfg, self.depth)
+        self.fpn_spec = None
         if cfg.FPN.FPN_ON:
-            raise NotImplementedError(
-                'FPN_reid multi-scale variant lands with the fpn module')
+            # "scale-free" multi-scale variant (reference FPN_reid.py).
+            # Head params are shared across pyramid levels: the reference's
+            # per-level head names collapse to the same blob name via
+            # get_prefix (pps_heads.py:28-35), so even its "non-shared" mode
+            # shares weights; FPN_SHARED additionally batch-concats the
+            # levels so one loss set covers all (pps_heads.py:119-142).
+            self.fpn_spec = fpn_lib.fpn_spec(cfg, self.depth)
+            assert cfg.REID.FPN_SHARED, (
+                'FPN_ON requires REID.FPN_SHARED: the reference non-shared '
+                'mode is broken by head-name collisions (pps_heads.py:28)')
         self.head_spec = head_lib.head_spec(
             cfg, self.resnet_spec['spatial_scale'])
+        if self.fpn_spec is not None:
+            # per-level strip splits: scales (1/16, 1/16, 1/8, 1/4)
+            self.level_splits = [
+                head_lib.strip_splits(cfg.REID.BPM_STRIP_NUM,
+                                      cfg.REID.SCALE[1], sc)
+                for sc in self.fpn_spec['spatial_scales']]
+            self.head_spec['splits'] = self.level_splits[0]
         self.masks = head_lib.combo_masks(self.head_spec)
         # stacked-param prefix: the head kind, so the reference's
         # string-matched LR groups (optimizer.py:133-151: 'pps'/'bpm'/...
@@ -57,11 +74,17 @@ class ReIDModel:
 
     # -- init ---------------------------------------------------------------
     def init(self, rng):
-        r_backbone, r_head, r_crm = jax.random.split(rng, 3)
+        r_backbone, r_head, r_crm, r_fpn = jax.random.split(rng, 4)
         params, state = resnet_lib.init_resnet_params(
             r_backbone, self.resnet_spec)
+        head_dim_in = self.resnet_spec['dim_out']
+        if self.fpn_spec is not None:
+            fp, fs = fpn_lib.init_fpn_params(r_fpn, self.fpn_spec)
+            params.update(fp)
+            state.update(fs)
+            head_dim_in = self.fpn_spec['fpn_dim']
         hp, hs = head_lib.init_head_params(
-            r_head, self.head_spec, self.resnet_spec['dim_out'],
+            r_head, self.head_spec, head_dim_in,
             param_prefix=self.head_param_prefix)
         params.update(hp)
         state.update(hs)
@@ -70,13 +93,34 @@ class ReIDModel:
         return params, state
 
     # -- shared trunk -------------------------------------------------------
+    def _combo_feats(self, feat, splits):
+        ave, mx = head_lib.strip_pools(feat.astype(jnp.float32), splits)
+        return head_lib.combine_strips(ave, mx, self.masks,
+                                       self.head_spec['mode'])
+
     def _features(self, params, state, images, train, dropout_rng=None):
-        feat, updates = resnet_lib.apply_resnet(
-            params, state, images, self.resnet_spec, train=train)
-        ave, mx = head_lib.strip_pools(
-            feat.astype(jnp.float32), self.head_spec['splits'])
-        combo_feats = head_lib.combine_strips(
-            ave, mx, self.masks, self.head_spec['mode'])
+        """Returns (features [B', R, D], logits [B', R, K], updates) where
+        B' = B, or B * FPN_NUM under shared FPN training (level-major batch
+        concat, reference pps_heads.py:119-142)."""
+        if self.fpn_spec is None:
+            feat, updates = resnet_lib.apply_resnet(
+                params, state, images, self.resnet_spec, train=train)
+            combo_feats = self._combo_feats(feat, self.head_spec['splits'])
+        else:
+            _, stages, updates = resnet_lib.apply_resnet(
+                params, state, images, self.resnet_spec, train=train,
+                return_stages=True)
+            pyramid, fpn_upd = fpn_lib.apply_fpn(
+                params, state, stages, self.fpn_spec, train=train)
+            updates.update(fpn_upd)
+            if not train:
+                # test: coarsest level only (reference pps_heads.py:88-96)
+                combo_feats = self._combo_feats(pyramid[0],
+                                                self.level_splits[0])
+            else:
+                combo_feats = jnp.concatenate(
+                    [self._combo_feats(p, sp)
+                     for p, sp in zip(pyramid, self.level_splits)], axis=0)
         features, logits, upd = head_lib.apply_head(
             params, state, combo_feats, self.head_spec, train=train,
             dropout_rng=dropout_rng, param_prefix=self.head_param_prefix)
@@ -104,6 +148,13 @@ class ReIDModel:
         features, logits, updates = self._features(
             params, state, batch['data'], train=True, dropout_rng=rng)
         labels = batch['labels_int32']
+        labels_oh = batch['labels_oh']
+        if self.fpn_spec is not None:
+            # shared FPN: level-major batch concat => tile labels FPN_NUM
+            # times (reference reid_heads.py:145-149, crm_heads.py:110-116)
+            n = self.fpn_spec['fpn_num']
+            labels = jnp.tile(labels, (n,))
+            labels_oh = jnp.tile(labels_oh, (n, 1))
 
         ce, acc = loss_lib.softmax_ce_losses(logits, labels)
         total = jnp.sum(ce)
@@ -115,8 +166,7 @@ class ReIDModel:
 
         if self.use_crm:
             probs = head_lib.apply_crm(params, features)
-            crm, crm_acc = loss_lib.crm_loss(probs, batch['labels_oh'],
-                                             labels)
+            crm, crm_acc = loss_lib.crm_loss(probs, labels_oh, labels)
             total = total + crm
             logs['crm_loss'] = crm
             logs['crm_accuracy'] = crm_acc

@@ -1,0 +1,95 @@
+"""Tiled query x gallery Euclidean distance matrix as a Pallas TPU kernel.
+
+TPU-native replacement for the reference's ``PairWiseDistance`` CUDA op
+(/root/reference/detectron/ops/pairwise_distance_op.cu) at gallery scale
+(the evaluator distmat, reference reid_dataset_evaluator.py:244-272).
+
+The kernel is a matmul-shaped 3-D grid (q-tiles x g-tiles x d-chunks): the
+MXU computes the -2 q.g^T cross term per (BQ, BG) tile in float32 while the
+rank-1 norm terms fuse into the final d-chunk, so HBM traffic is exactly
+one read of q, one of g, one write of the output — the same roofline as a
+plain matmul, which XLA's unfused x^2+y^2-2xy formulation only reaches
+after materializing the cross-term product separately.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _distmat_kernel(q_ref, g_ref, qn_ref, gn_ref, out_ref, acc_ref, *,
+                    nd, sqrt_out):
+    d = pl.program_id(2)
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(q_ref[:], g_ref[:].T,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(d == nd - 1)
+    def _():
+        d2 = qn_ref[:] + gn_ref[:] - 2.0 * acc_ref[:]
+        d2 = jnp.maximum(d2, 0.0)
+        out_ref[:] = jnp.sqrt(d2) if sqrt_out else d2
+
+
+@functools.partial(jax.jit, static_argnames=('block_q', 'block_g',
+                                             'block_d', 'sqrt_out',
+                                             'interpret'))
+def pallas_euclidean_distmat(q, g, block_q=256, block_g=512, block_d=512,
+                             sqrt_out=True, interpret=False):
+    """[Nq, D] x [Ng, D] -> [Nq, Ng] Euclidean distances (sqrt, clamped),
+    matching the reference compute_dist semantics.  Inputs are padded to
+    tile multiples; pad rows are sliced off the result."""
+    nq, d = q.shape
+    ng = g.shape[0]
+    q = q.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+
+    block_q = min(block_q, max(8, nq))
+    block_g = min(block_g, max(128, ng))
+    block_d = min(block_d, d)
+    pq = (-nq) % block_q
+    pg = (-ng) % block_g
+    pd = (-d) % block_d
+    qp = jnp.pad(q, ((0, pq), (0, pd)))
+    gp = jnp.pad(g, ((0, pg), (0, pd)))
+    # row norms, precomputed once (cheap, bandwidth-bound)
+    qn = jnp.sum(jnp.square(qp), axis=1, keepdims=True)      # [Nq', 1]
+    gn = jnp.sum(jnp.square(gp), axis=1, keepdims=True).T    # [1, Ng']
+
+    nqt = qp.shape[0] // block_q
+    ngt = gp.shape[0] // block_g
+    nd = qp.shape[1] // block_d
+
+    out = pl.pallas_call(
+        functools.partial(_distmat_kernel, nd=nd, sqrt_out=sqrt_out),
+        grid=(nqt, ngt, nd),
+        in_specs=[
+            pl.BlockSpec((block_q, block_d), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_g, block_d), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_g), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, block_g), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], gp.shape[0]),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, block_g), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp.shape[0] * gp.shape[0] * qp.shape[1],
+            bytes_accessed=(qp.size + gp.size +
+                            qp.shape[0] * gp.shape[0]) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qp, gp, qn, gn)
+    return out[:nq, :ng]

@@ -1,0 +1,80 @@
+"""Sharded batched feature extraction.
+
+Replaces the reference's one-image-per-RunNet inference loop and its
+subprocess-per-GPU dataset range sharding
+(/root/reference/detectron/core/test_engine.py:184-229,259-370;
+/root/reference/detectron/utils/subprocess.py:39-104): images are batched,
+the batch dim is sharded over the whole mesh, and the variable gallery size
+is handled by pad-and-mask (static shapes for XLA).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pps_tpu.parallel import mesh as mesh_lib
+
+
+def make_extract_fn(model, mesh, flip_tta=False):
+    """jitted (params, state, images[B,H,W,3]) -> [B, E] embeddings.
+
+    flip_tta: average features of the image and its horizontal flip
+    (the TEST.BBOX_AUG.H_FLIP analog, reference core/test.py:220-339).
+    """
+    def extract(params, state, images):
+        feats = model.extract_features(params, state, images)
+        if flip_tta:
+            feats_f = model.extract_features(params, state,
+                                             images[:, :, ::-1, :])
+            feats = (feats + feats_f) * 0.5
+            norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+            feats = feats / jnp.maximum(norm, 1e-12)
+        return feats
+
+    rep = mesh_lib.replicated(mesh)
+    bsh = mesh_lib.batch_sharding(mesh, fold_model=True)
+    return jax.jit(extract,
+                   in_shardings=(rep, rep, bsh),
+                   out_shardings=bsh)
+
+
+def extract_features(extract_fn, params, state, images, batch_size,
+                     n_devices=1, mesh=None):
+    """Drive extraction over a numpy image stack [N,H,W,3] with padding.
+
+    batch_size is the *global* batch; the tail batch is padded to keep the
+    jitted shape static, then the pad rows are dropped.  Transfers are
+    pipelined: the next batch's H2D copy is issued before blocking on the
+    current result (the BlobsQueue prefetch analog, reference
+    roi_data/loader.py:256-279), so a slow host link overlaps compute.
+    """
+    n = images.shape[0]
+    assert batch_size % n_devices == 0
+    sharding = mesh_lib.batch_sharding(mesh, fold_model=True) if mesh else None
+
+    def put(start):
+        chunk = images[start:start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.tile(chunk[-1:], (pad, 1, 1, 1))], axis=0)
+        dev = jax.device_put(chunk, sharding)
+        return dev, pad
+
+    starts = list(range(0, n, batch_size))
+    out = []
+    pending = None  # (future feats, pad)
+    next_dev = put(starts[0]) if starts else None
+    for i, start in enumerate(starts):
+        dev, pad = next_dev
+        feats = extract_fn(params, state, dev)  # async dispatch
+        if i + 1 < len(starts):
+            next_dev = put(starts[i + 1])       # overlap H2D with compute
+        if pending is not None:
+            pf, ppad = pending
+            out.append(np.asarray(pf)[:batch_size - ppad])
+        pending = (feats, pad)
+    if pending is not None:
+        pf, ppad = pending
+        out.append(np.asarray(pf)[:batch_size - ppad])
+    return np.concatenate(out, axis=0) if out else np.zeros((0,))

@@ -1,0 +1,104 @@
+"""Mesh + sharding-rule construction.
+
+The reference replicates the whole graph per GPU and sum-allreduces
+gradients (reference modeling/optimizer.py:57-87, loss scale 1/N at
+detector.py:561-566).  Here device placement is data: one 2-D
+``Mesh(('data', 'model'))`` plus `NamedSharding` rules; a single jitted
+train step computes the *global*-batch loss, so gradient averaging falls
+out of differentiation itself and XLA lowers the cross-device reductions
+to ICI collectives.
+
+Sharding rules
+  batch arrays      : leading dim over 'data' (x 'model' when it divides)
+  classifier FCs    : stacked [R, D, C] head/CRM class dim over 'model'
+  everything else   : replicated
+
+Only the identity-classifier FCs are worth tensor-sharding in this model:
+with R=31 combos and C=O(1500) classes they dominate head parameter count,
+and their matmul contracts over the replicated 128-d feature, so the shard
+boundary needs no resharding of activations (output stays 'model'-sharded
+into the per-class softmax CE, which reduces over classes with one psum).
+"""
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(cfg=None, devices=None, mesh_shape=None):
+    """Create the (data, model) mesh.
+
+    mesh_shape: (n_data, n_model); -1 in the data slot consumes all
+    remaining devices.  Defaults: cfg.TPU.MESH_SHAPE, else all-data.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = tuple(cfg.TPU.MESH_SHAPE) if cfg is not None else (-1, 1)
+    n_data, n_model = mesh_shape
+    if n_data == -1:
+        assert n % n_model == 0, (n, n_model)
+        n_data = n // n_model
+    assert n_data * n_model <= n, (mesh_shape, n)
+    devices = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    axis_names = ('data', 'model')
+    if cfg is not None:
+        axis_names = (cfg.TPU.DATA_AXIS, cfg.TPU.MODEL_AXIS)
+    return Mesh(devices, axis_names)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh, fold_model=True):
+    """Sharding for [B, ...] arrays: B split over the data axis (and the
+    model axis too when folding both into pure data parallelism, e.g. at
+    eval time where there is no model-sharded matmul on the path)."""
+    data_ax, model_ax = mesh.axis_names
+    if fold_model and mesh.shape[model_ax] > 1:
+        return NamedSharding(mesh, P((data_ax, model_ax)))
+    return NamedSharding(mesh, P(data_ax))
+
+
+# parameter names whose last dim is the identity-class dim.
+def _is_class_sharded(name):
+    return name.endswith('fc_w') or name.endswith('fc_b') or (
+        '_fc8' in name and (name.endswith('_w') or name.endswith('_b')))
+
+
+def param_shardings(mesh, params):
+    """{name: NamedSharding} — classifier FCs sharded over 'model',
+    everything else replicated."""
+    data_ax, model_ax = mesh.axis_names
+    n_model = mesh.shape[model_ax]
+    out = {}
+    for name, p in params.items():
+        if (n_model > 1 and _is_class_sharded(name)
+                and p.shape[-1] % n_model == 0):
+            spec = [None] * (p.ndim - 1) + [model_ax]
+            out[name] = NamedSharding(mesh, P(*spec))
+        else:
+            out[name] = NamedSharding(mesh, P())
+    return out
+
+
+def tree_shardings(mesh, tree, params_rule=None):
+    """Map a pytree to replicated shardings, with an optional per-leaf-name
+    override dict for the top-level 'params'-shaped dicts."""
+    def lookup(name):
+        if params_rule and name in params_rule:
+            return params_rule[name]
+        return NamedSharding(mesh, P())
+    if isinstance(tree, dict):
+        return {k: tree_shardings(mesh, v, params_rule)
+                if isinstance(v, dict) else lookup(k)
+                for k, v in tree.items()}
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def pad_to_multiple(n, m):
+    return int(math.ceil(n / m) * m)

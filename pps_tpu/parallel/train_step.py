@@ -1,0 +1,111 @@
+"""The jitted, mesh-sharded training step.
+
+One step = the reference's entire per-iteration C2 DAG (dequeue -> fwd ->
+bwd -> allreduce -> SGD, reference utils/train.py:86 RunNet) expressed as a
+single pure function jit-compiled over a device mesh.  Workspace-fed scalars
+(`lr`, `loss_scale_factor` — reference detector.py:500-537,
+triplet_loss.py:160-171) become traced array arguments so LR changes and the
+triplet epoch alternation never trigger recompilation.
+
+Gradient semantics: the loss is the *global*-batch loss, so with the batch
+sharded over 'data' the gradient allreduce is inserted by XLA (GSPMD), and
+no explicit 1/NUM_GPUS loss scale is needed (the reference's
+GetLossScale=1/N at detector.py:561-566 served exactly this purpose).
+
+BatchNorm note: batch statistics are computed over the global batch
+(sync-BN) rather than per-replica as in the reference.  For the shipped
+1-GPU flagship configs this is bit-identical; for multi-device it is the
+strictly-more-correct TPU-native choice.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pps_tpu.parallel import mesh as mesh_lib
+from pps_tpu.solver import optimizer as opt_lib
+
+
+def make_train_step(model, cfg, mesh, meta=None, trainable=None,
+                    donate=None):
+    """Build the jitted train step.
+
+    Returns step(train_state, batch, lr, loss_scale_factor, rng)
+      -> (train_state, logs)
+    where train_state = {'params', 'state', 'opt'} and
+    batch = {'data' [B,H,W,3] f32, 'labels_int32' [B], 'labels_oh' [B,C]}.
+    """
+    flavor = opt_lib.flavor_from_cfg(cfg)
+    iter_size = int(cfg.REID.ITER_SIZE)
+    momentum = float(cfg.SOLVER.MOMENTUM)
+    if donate is None:
+        donate = bool(cfg.TPU.DONATE)
+
+    def step(train_state, batch, lr, loss_scale_factor, rng, meta_=None):
+        params, state, opt_state = (train_state['params'],
+                                    train_state['state'],
+                                    train_state['opt'])
+        grad_fn = jax.value_and_grad(model.train_forward, has_aux=True)
+        (_, (updates, logs)), grads = grad_fn(
+            params, state, batch, rng, loss_scale_factor)
+        new_state = dict(state)
+        new_state.update(updates)
+        new_params, new_opt = opt_lib.sgd_update(
+            params, grads, opt_state, lr, meta, momentum=momentum,
+            flavor=flavor, iter_size=iter_size, num_devices=1,
+            trainable=trainable)
+        logs['lr'] = lr
+        return ({'params': new_params, 'state': new_state, 'opt': new_opt},
+                logs)
+
+    if meta is None:
+        # late-bound: caller passes params first to compute meta
+        def build(params):
+            m = opt_lib.make_param_meta(params, cfg)
+            return make_train_step(model, cfg, mesh, meta=m,
+                                   trainable=trainable, donate=donate)
+        return build
+
+    rules_cache = {}
+
+    def jitted(train_state, batch, lr, loss_scale_factor, rng):
+        key = 'k'
+        if key not in rules_cache:
+            p_rules = mesh_lib.param_shardings(mesh, train_state['params'])
+            ts_shard = {
+                'params': p_rules,
+                'state': mesh_lib.tree_shardings(mesh, train_state['state']),
+                'opt': _opt_shardings(mesh, train_state['opt'], p_rules),
+            }
+            b_shard = jax.tree.map(
+                lambda _: mesh_lib.batch_sharding(mesh, fold_model=False),
+                batch)
+            rep = mesh_lib.replicated(mesh)
+            rules_cache[key] = jax.jit(
+                step,
+                in_shardings=(ts_shard, b_shard, rep, rep, rep),
+                out_shardings=(ts_shard, rep),
+                donate_argnums=(0,) if donate else ())
+        return rules_cache[key](train_state, batch, lr,
+                                loss_scale_factor, rng)
+
+    jitted.raw_step = step
+    return jitted
+
+
+def _opt_shardings(mesh, opt_state, p_rules):
+    out = {}
+    for k, v in opt_state.items():
+        if isinstance(v, dict):  # momentum / acmgrad mirror params
+            out[k] = {n: p_rules.get(n, mesh_lib.replicated(mesh))
+                      for n in v}
+        else:
+            out[k] = mesh_lib.replicated(mesh)
+    return out
+
+
+def shard_batch(mesh, batch, fold_model=False):
+    """Host numpy batch -> sharded device arrays (the BlobsQueue analog)."""
+    sh = mesh_lib.batch_sharding(mesh, fold_model=fold_model)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

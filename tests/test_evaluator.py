@@ -92,7 +92,8 @@ def test_evaluate_end_to_end_synthetic(rng_np, capsys):
     captured = capsys.readouterr().out
     assert 'Single Query:' in captured and '[mAP:' in captured
     assert 'Re-ranked Single Query:' in captured
-    m_ap, cmc_scores = results['single']
+    m_ap = results['single']['mAP']
+    cmc_scores = results['single']['cmc']
     assert m_ap > 0.9          # well-separated clusters
     assert cmc_scores[0] > 0.9
     assert 'single_rerank' in results

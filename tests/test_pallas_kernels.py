@@ -1,0 +1,73 @@
+"""Golden-value tests for the Pallas kernels (interpret mode on CPU; the
+template is the reference's tests/test_zero_even_op.py numpy-golden
+pattern)."""
+
+import numpy as np
+import pytest
+
+from pps_tpu.ops.pallas.distmat import pallas_euclidean_distmat
+from pps_tpu.ops.pallas.topk import streaming_topk
+from pps_tpu.ops.pallas.zero_even import zero_even
+
+
+def _np_distmat(q, g):
+    d2 = (np.square(q).sum(1)[:, None] + np.square(g).sum(1)[None, :]
+          - 2.0 * q @ g.T)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+@pytest.mark.parametrize('nq,ng,d', [(17, 33, 48), (64, 128, 128),
+                                     (100, 300, 96)])
+def test_pallas_distmat_golden(nq, ng, d):
+    rng = np.random.RandomState(0)
+    q = rng.randn(nq, d).astype(np.float32)
+    g = rng.randn(ng, d).astype(np.float32)
+    want = _np_distmat(q, g)
+    got = np.asarray(pallas_euclidean_distmat(
+        q, g, block_q=8, block_g=128, block_d=32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_distmat_squared():
+    rng = np.random.RandomState(1)
+    q = rng.randn(9, 16).astype(np.float32)
+    g = rng.randn(12, 16).astype(np.float32)
+    got = np.asarray(pallas_euclidean_distmat(
+        q, g, block_q=8, block_g=128, block_d=16, sqrt_out=False,
+        interpret=True))
+    np.testing.assert_allclose(got, _np_distmat(q, g) ** 2, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_streaming_topk_matches_full_sort():
+    rng = np.random.RandomState(2)
+    q = rng.randn(23, 64).astype(np.float32)
+    g = rng.randn(500, 64).astype(np.float32)
+    d, i = streaming_topk(q, g, k=10, chunk=128)
+    d, i = np.asarray(d), np.asarray(i)
+    full = _np_distmat(q, g)
+    want_i = np.argsort(full, axis=1, kind='stable')[:, :10]
+    want_d = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(d, want_d, rtol=1e-4, atol=1e-4)
+    # indices may differ on exact ties; distances must agree
+    got_d_by_i = np.take_along_axis(full, i, axis=1)
+    np.testing.assert_allclose(got_d_by_i, want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_topk_k_larger_than_gallery():
+    rng = np.random.RandomState(3)
+    q = rng.randn(4, 8).astype(np.float32)
+    g = rng.randn(5, 8).astype(np.float32)
+    d, i = streaming_topk(q, g, k=100, chunk=4)
+    assert d.shape == (4, 5)
+    assert (np.asarray(i) >= 0).all()
+
+
+def test_zero_even_golden():
+    rng = np.random.RandomState(4)
+    for n in (1, 7, 64, 130):
+        x = rng.randn(n).astype(np.float32)
+        got = np.asarray(zero_even(x, interpret=True))
+        want = x.copy()
+        want[0::2] = 0.0
+        np.testing.assert_allclose(got, want)

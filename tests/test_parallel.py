@@ -1,0 +1,152 @@
+"""Mesh-sharded train/eval step tests on the virtual 8-device CPU mesh.
+
+The jax analog of the reference's multi-GPU conditioning tests
+(reference tests/test_restore_checkpoint.py looping over
+workspace.NumCudaDevices()); see conftest.py for the device farm setup.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pps_tpu.config import cfg, merge_cfg_from_list, assert_and_infer_cfg
+from pps_tpu.models.model import build_model
+from pps_tpu.parallel import mesh as mesh_lib
+from pps_tpu.parallel import train_step as ts_lib
+from pps_tpu.parallel.eval_step import make_extract_fn, extract_features
+from pps_tpu.solver import optimizer as opt_lib
+
+
+def _tiny_cfg(num_classes=17, p=4, k=2, crm=True, triplet=True):
+    merge_cfg_from_list([
+        'MODEL.TYPE', 'generalized_reid',
+        'MODEL.CONV_BODY', 'ResNet.add_ResNet50_conv5_body',
+        'MODEL.NUM_CLASSES', str(num_classes),
+        'MODEL.USE_BN', 'True',
+        'FAST_RCNN.ROI_BOX_HEAD', 'pps_heads.add_pps_part_head',
+        'RESNETS.RES5_STRIDE', '1',
+        'TRAIN.FREEZE_AT', '0',
+        'TRAIN.IMS_PER_BATCH', str(p * k),
+        'REID.SCALE', '(32, 96)',
+        'REID.BPM_STRIP_NUM', '3',
+        'REID.BPM_DIM', '16',
+        'REID.CRM', str(crm),
+        'REID.TRIPLET_LOSS', str(triplet),
+        'REID.TRIPLET_LOSS_CROSS', str(triplet),
+        'REID.NORMALIZE_FEATURE', 'True',
+        'REID.MAX_AVE_FEATURE', 'True',
+        'REID.P', str(p),
+        'REID.K', str(k),
+    ])
+    assert_and_infer_cfg(make_immutable=False)
+    return cfg
+
+
+def _batch(num_classes, p, k, h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    labels = np.repeat(np.arange(p), k).astype(np.int32)
+    oh = np.zeros((p * k, num_classes - 1), np.float32)
+    oh[np.arange(p * k), labels] = 1.0
+    return {'data': rng.randn(p * k, h, w, 3).astype(np.float32),
+            'labels_int32': labels, 'labels_oh': oh}
+
+
+def _setup(mesh_shape, num_classes=17, p=4, k=2, triplet=True):
+    c = _tiny_cfg(num_classes=num_classes, p=p, k=k, triplet=triplet)
+    mesh = mesh_lib.build_mesh(c, mesh_shape=mesh_shape)
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    meta = opt_lib.make_param_meta(params, c)
+    opt_state = opt_lib.init_opt_state(params)
+    step = ts_lib.make_train_step(model, c, mesh, meta=meta, donate=False)
+    return c, mesh, model, params, state, opt_state, step
+
+
+def _run_steps(c, mesh, params, state, opt_state, step, n=2):
+    batch = _batch(c.MODEL.NUM_CLASSES, c.REID.P, c.REID.K, 96, 32)
+    ts = {'params': params, 'state': state, 'opt': opt_state}
+    logs = None
+    with mesh:
+        dev_batch = ts_lib.shard_batch(mesh, batch)
+        for i in range(n):
+            ts, logs = step(ts, dev_batch, jnp.float32(0.01),
+                            jnp.float32(1.0), jax.random.PRNGKey(i))
+    return ts, {k: np.asarray(v) for k, v in logs.items()}
+
+
+def test_train_step_runs_dp():
+    c, mesh, model, params, state, opt_state, step = _setup((8, 1))
+    ts, logs = _run_steps(c, mesh, params, state, opt_state, step)
+    assert np.isfinite(logs['loss'])
+
+
+def test_dp_matches_single_device():
+    """Global-batch loss must be identical on 1 vs 8 devices.
+
+    Parity is asserted on the step-1 loss (tight) and the step-2 loss
+    (loose): gradient *routing* through ReLU/max-pool near-ties at random
+    init is chaotic under cross-device reduction-order noise — individual
+    params legitimately diverge (same as torch DDP vs single GPU) while
+    the optimization trajectory stays equivalent.  Triplet is excluded:
+    batch-hard argmax routing is maximally tie-sensitive and is covered by
+    test_train_step_runs_dp.
+    """
+    c, mesh8, model, params, state, opt_state, step8 = _setup(
+        (8, 1), triplet=False)
+    _, logs8_1 = _run_steps(c, mesh8, params, state, opt_state, step8, n=1)
+    _, logs8_2 = _run_steps(c, mesh8, params, state, opt_state, step8, n=2)
+
+    mesh1 = mesh_lib.build_mesh(c, mesh_shape=(1, 1))
+    meta = opt_lib.make_param_meta(params, c)
+    step1 = ts_lib.make_train_step(model, c, mesh1, meta=meta, donate=False)
+    _, logs1_1 = _run_steps(c, mesh1, params, state, opt_state, step1, n=1)
+    _, logs1_2 = _run_steps(c, mesh1, params, state, opt_state, step1, n=2)
+
+    np.testing.assert_allclose(logs8_1['loss'], logs1_1['loss'], rtol=1e-4)
+    np.testing.assert_allclose(logs8_2['loss'], logs1_2['loss'], rtol=5e-2)
+
+
+def test_model_axis_sharding():
+    """2-D mesh: classifier FCs sharded over 'model' give the same loss."""
+    c, mesh, model, params, state, opt_state, step = _setup(
+        (4, 2), num_classes=17, triplet=False)
+    ts, logs = _run_steps(c, mesh, params, state, opt_state, step, n=1)
+    assert np.isfinite(logs['loss'])
+
+    mesh1 = mesh_lib.build_mesh(c, mesh_shape=(1, 1))
+    meta = opt_lib.make_param_meta(params, c)
+    step1 = ts_lib.make_train_step(model, c, mesh1, meta=meta, donate=False)
+    _, logs1 = _run_steps(c, mesh1, params, state, opt_state, step1, n=1)
+    np.testing.assert_allclose(logs['loss'], logs1['loss'], rtol=1e-4)
+
+
+def test_extract_sharded_matches_unsharded():
+    c = _tiny_cfg()
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = np.random.RandomState(3).randn(19, 96, 32, 3).astype(np.float32)
+
+    mesh8 = mesh_lib.build_mesh(c, mesh_shape=(8, 1))
+    fn8 = make_extract_fn(model, mesh8)
+    with mesh8:
+        f8 = extract_features(fn8, params, state, images, batch_size=8,
+                              n_devices=8)
+    mesh1 = mesh_lib.build_mesh(c, mesh_shape=(1, 1))
+    fn1 = make_extract_fn(model, mesh1)
+    with mesh1:
+        f1 = extract_features(fn1, params, state, images, batch_size=4)
+    assert f8.shape == (19, model.embedding_dim)
+    np.testing.assert_allclose(f8, f1, rtol=1e-4, atol=1e-5)
+
+
+def test_flip_tta_normalized():
+    c = _tiny_cfg()
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = np.random.RandomState(3).randn(4, 96, 32, 3).astype(np.float32)
+    mesh = mesh_lib.build_mesh(c, mesh_shape=(1, 1))
+    fn = make_extract_fn(model, mesh, flip_tta=True)
+    with mesh:
+        f = np.asarray(fn(params, state, images))
+    np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)

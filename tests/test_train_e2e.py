@@ -1,0 +1,164 @@
+"""End-to-end training smoke test on a synthetic dataset.
+
+The analog of the reference's EXPECTED_RESULTS e2e contract
+(reference task_evaluation.py:200-245): train a tiny model on a synthetic
+identity dataset on the CPU mesh, assert the loss falls, the checkpoint
+round-trips via auto-resume, and the inference path yields valid metrics.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pps_tpu.config import (cfg, merge_cfg_from_list, assert_and_infer_cfg,
+                            reset_cfg)
+from pps_tpu.data import catalog
+from pps_tpu.data.json_dataset import combined_roidb_for_training
+from pps_tpu.engine.train import train_model
+from pps_tpu.engine import test as test_engine
+
+
+def _write_coco(tmp_path, split, n_ids, per_id, with_marks=False):
+    imdir = os.path.join(str(tmp_path), 'images')
+    os.makedirs(imdir, exist_ok=True)
+    images, annotations, categories = [], [], []
+    for pid in range(1, n_ids + 1):
+        categories.append({'id': pid, 'name': '{:08d}'.format(pid)})
+        for j in range(per_id):
+            iid = len(images) + 1
+            cam = j % 2 + 1
+            name = '{:08d}_{:04d}_{:08d}.jpg'.format(pid, cam, iid)
+            images.append({'id': iid, 'file_name': name,
+                           'width': 32, 'height': 96})
+            ann = {'id': iid, 'image_id': iid, 'category_id': pid}
+            if with_marks:
+                # first image of each id = query, rest = gallery
+                ann['mark'] = 0 if j == 0 else 1
+            annotations.append(ann)
+    ann_fn = os.path.join(str(tmp_path), split + '.json')
+    with open(ann_fn, 'w') as f:
+        json.dump({'images': images, 'annotations': annotations,
+                   'categories': categories}, f)
+    return imdir, ann_fn
+
+
+def _class_decoder(n_ids):
+    """Images whose content depends (noisily) on the identity, so the tiny
+    net has signal to learn."""
+    def decode(path):
+        base = os.path.basename(path)
+        pid = int(base[:8])
+        iid = int(base.split('_')[-1].split('.')[0])
+        rng = np.random.RandomState(iid)
+        im = np.zeros((96, 32, 3), np.float32)
+        # identity-specific horizontal band pattern
+        prng = np.random.RandomState(pid)
+        pattern = prng.randint(0, 255, size=(8, 4, 3)).astype(np.float32)
+        im += np.kron(pattern, np.ones((12, 8, 1), np.float32))
+        im += rng.randn(96, 32, 3) * 8.0
+        return np.clip(im, 0, 255).astype(np.uint8)
+    return decode
+
+
+N_IDS = 8
+
+
+@pytest.fixture
+def tiny_train_cfg(tmp_path):
+    imdir, ann_fn = _write_coco(tmp_path, 'trainval', N_IDS, 6)
+    catalog.register_dataset('synth_trainval', imdir, ann_fn)
+    imdir, ann_fn = _write_coco(tmp_path, 'test', N_IDS, 4, with_marks=True)
+    catalog.register_dataset('synth_test', imdir, ann_fn)
+    merge_cfg_from_list([
+        'MODEL.TYPE', 'generalized_reid',
+        'MODEL.CONV_BODY', 'ResNet.add_ResNet50_conv5_body',
+        'MODEL.NUM_CLASSES', str(N_IDS + 1),
+        'MODEL.USE_BN', 'True',
+        'FAST_RCNN.ROI_BOX_HEAD', 'pps_heads.add_pps_part_head',
+        'RESNETS.RES5_STRIDE', '1',
+        'TRAIN.FREEZE_AT', '0',
+        'TRAIN.DATASETS', "('synth_trainval',)",
+        'TRAIN.IMS_PER_BATCH', '8',
+        'TRAIN.SNAPSHOT_ITERS', '1',
+        'TEST.DATASETS', "('synth_test',)",
+        'TEST.IMS_PER_BATCH', '4',
+        'SOLVER.BASE_LR', '0.002',
+        'SOLVER.LR_POLICY', 'steps_with_decay',
+        'SOLVER.STEPS', '[0, 2]',
+        'SOLVER.GAMMA', '0.5',
+        'SOLVER.MAX_ITER', '3',
+        'REID.SCALE', '(32, 96)',
+        'REID.BPM_STRIP_NUM', '3',
+        'REID.BPM_DIM', '16',
+        'REID.CRM', 'True',
+        'REID.TRIPLET_LOSS', 'True',
+        'REID.TRIPLET_LOSS_CROSS', 'True',
+        'REID.TRIPLET_LOSS_START', '0',
+        'REID.NORMALIZE_FEATURE', 'True',
+        'REID.MAX_AVE_FEATURE', 'True',
+        'REID.P', '4',
+        'REID.K', '2',
+        'OUTPUT_DIR', str(tmp_path / 'out'),
+    ])
+    assert_and_infer_cfg(make_immutable=False)
+    return cfg
+
+
+def test_train_eval_resume(tiny_train_cfg, tmp_path, capsys):
+    c = tiny_train_cfg
+    out_dir = str(tmp_path / 'out')
+    decode = _class_decoder(N_IDS)
+
+    ckpts = train_model(c, output_dir=out_dir, decode_fn=decode,
+                        num_workers=2, log_period=1)
+    assert 'final' in ckpts
+    assert os.path.exists(ckpts['final'])
+    # epoch snapshots saved with reference naming (epoch 3 is triplet-odd
+    # with TRIPLET_LOSS_START=0... epochs 1,2 land as model_epoch{N}.pkl)
+    assert any(k != 'final' for k in ckpts)
+
+    # json_stats lines were emitted and parse
+    captured = capsys.readouterr().out
+    stat_lines = [l for l in captured.splitlines()
+                  if l.startswith('json_stats: ')]
+    assert stat_lines
+    first = json.loads(stat_lines[0][len('json_stats: '):])
+    last = json.loads(stat_lines[-1][len('json_stats: '):])
+    assert 'loss' in first and 'lr' in first and 'epoch' in first
+    assert float(last['loss']) < float(first['loss'])
+
+    # inference + evaluation end-to-end
+    feats, roidb = test_engine.test_net(
+        c, ckpts['final'], 'synth_test', output_dir=out_dir,
+        decode_fn=decode)
+    assert feats.shape[0] == len(roidb)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0,
+                               rtol=1e-4)
+    results = test_engine.evaluate_dataset(c, feats, roidb)
+    assert 0.0 <= results['single']['mAP'] <= 1.0
+    assert 0.0 <= results['single']['cmc1'] <= 1.0
+    assert os.path.exists(os.path.join(out_dir, 'features.pkl'))
+
+    # auto-resume: with model_final.pkl present training is skipped
+    ckpts2 = train_model(c, output_dir=out_dir, decode_fn=decode)
+    assert list(ckpts2) == ['final']
+
+
+def test_resume_from_epoch(tiny_train_cfg, tmp_path):
+    c = tiny_train_cfg
+    decode = _class_decoder(N_IDS)
+    out_dir = str(tmp_path / 'resume')
+
+    # train only epoch 0, interrupt by setting MAX_ITER=1
+    c.SOLVER.MAX_ITER = 1
+    train_model(c, output_dir=out_dir, decode_fn=decode, num_workers=1)
+    os.remove(os.path.join(out_dir, 'model_final.pkl'))
+    assert os.path.exists(os.path.join(out_dir, 'model_epoch1.pkl'))
+
+    # resume and finish 2 more epochs
+    c.SOLVER.MAX_ITER = 2
+    ckpts = train_model(c, output_dir=out_dir, decode_fn=decode,
+                        num_workers=1)
+    assert os.path.exists(ckpts['final'])
