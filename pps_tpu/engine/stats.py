@@ -79,6 +79,23 @@ class TrainingStats(object):
             eta=eta,
             loss=self.smoothed_total_loss.GetMedianValue(),
         )
+        mem = device_mem_mb()
+        if mem is not None:
+            stats['mem'] = mem  # MB in use on device 0 (the reference
+            # logged C2 gpu mem the same way, training_stats.py:99-100)
         for k, v in self.smoothed_losses_and_metrics.items():
             stats[k] = v.GetMedianValue()
         return stats
+
+
+def device_mem_mb():
+    """Bytes in use on device 0, in MB; None when the backend doesn't
+    report memory stats (CPU)."""
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and 'bytes_in_use' in ms:
+            return int(ms['bytes_in_use'] / (1024 * 1024))
+    except Exception:
+        pass
+    return None

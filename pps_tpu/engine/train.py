@@ -97,9 +97,19 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     global_step = sched.steps_before_epoch(start_epoch)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS)
 
+    # op-level tracing: set PPS_TPU_PROFILE_DIR to capture a jax profiler
+    # trace of steps [5, 15) viewable in xprof/tensorboard (the reference
+    # had only wall-clock timers, SURVEY.md section 5 tracing).
+    profile_dir = os.environ.get('PPS_TPU_PROFILE_DIR')
+    profile_window = (5, 15)
+
     with mesh:
         for ep in range(start_epoch, cfg.SOLVER.MAX_ITER):
             for i, loss_scale, batch in loader.iter_epoch(ep):
+                if profile_dir and global_step == profile_window[0]:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and global_step == profile_window[1]:
+                    jax.profiler.stop_trace()
                 stats.IterTic()
                 lr = float(lr_policy.get_lr_at_iter(
                     cfg, sched.lr_iter(ep, i), ep, sched.ipe))
@@ -136,6 +146,9 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                                          opt_state=train_state['opt'],
                                          cfg=cfg)
                 checkpoints[ep] = path
+
+    if profile_dir and profile_window[0] <= global_step < profile_window[1]:
+        jax.profiler.stop_trace()  # run ended inside the trace window
 
     final_path = os.path.join(output_dir, 'model_final.pkl')
     ckpt_lib.save_checkpoint(final_path, model, train_state['params'],

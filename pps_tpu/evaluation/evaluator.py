@@ -109,7 +109,11 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
     if to_re_rank:
         q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
         g_g_dist = np.asarray(dist_fn(feat[g_inds], feat[g_inds]))
-        rr = re_ranking(q_g_dist, q_q_dist, g_g_dist)
+        rerank_fn = re_ranking
+        from pps_tpu import native
+        if native.available():  # C++/OpenMP path, same numerics
+            rerank_fn = native.rerank_native
+        rr = rerank_fn(q_g_dist, q_q_dist, g_g_dist)
         rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
                                        cams[q_inds], cams[g_inds])
         print_scores('Re-ranked Single Query:', rr_map, rr_cmc)
@@ -117,7 +121,7 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
 
         if mq_feat is not None:
             mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
-            rr_mq = re_ranking(mq_g_dist, mq_mq_dist, g_g_dist)
+            rr_mq = rerank_fn(mq_g_dist, mq_mq_dist, g_g_dist)
             rr_mq_map, rr_mq_cmc = compute_score(
                 rr_mq, np.array([k[0] for k in mq_keys]), ids[g_inds],
                 np.array([k[1] for k in mq_keys]), cams[g_inds])
