@@ -98,16 +98,27 @@ def _plain_cfg(cfg):
         return {}
 
 
-def evaluate_dataset(cfg, feats, roidb, distmat_fn=None):
+def evaluate_dataset(cfg, feats, roidb, distmat_fn=None, output_dir=None):
     """CMC/mAP (+ multi-query, re-ranking) from features + roidb marks."""
     ids = np.array([eval_lib.parse_im_name(e['im_name'], 'id')
                     for e in roidb])
     cams = np.array([eval_lib.parse_im_name(e['im_name'], 'cam')
                      for e in roidb])
     marks = np.array([e['mark'] for e in roidb])
-    return eval_lib.evaluate(feats, ids, cams, marks,
-                             to_re_rank=cfg.REID.RERANK,
-                             distmat_fn=distmat_fn)
+    results = eval_lib.evaluate(feats, ids, cams, marks,
+                                to_re_rank=cfg.REID.RERANK,
+                                distmat_fn=distmat_fn)
+    if cfg.REID.VIS and output_dir:
+        from pps_tpu.evaluation.metrics import compute_dist
+        from pps_tpu.evaluation.visualize import visualize_rank_lists
+        q = marks == 0
+        g = marks == 1
+        paths = np.array([e['image'] for e in roidb])
+        visualize_rank_lists(
+            compute_dist(feats[q], feats[g]), ids[q], ids[g], cams[q],
+            cams[g], paths[q], paths[g],
+            os.path.join(output_dir, 'vis'))
+    return results
 
 
 def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
@@ -121,5 +132,6 @@ def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
     for ds in datasets:
         feats, roidb = test_net(cfg, weights_file, ds,
                                 output_dir=output_dir, decode_fn=decode_fn)
-        results[ds] = evaluate_dataset(cfg, feats, roidb)
+        results[ds] = evaluate_dataset(cfg, feats, roidb,
+                                       output_dir=output_dir)
     return results

@@ -106,6 +106,16 @@ def _opt_shardings(mesh, opt_state, p_rules):
 
 
 def shard_batch(mesh, batch, fold_model=False):
-    """Host numpy batch -> sharded device arrays (the BlobsQueue analog)."""
+    """Host numpy batch -> sharded device arrays (the BlobsQueue analog).
+
+    Single-host: one device_put with the batch sharding.  Multi-host (DCN
+    mesh under jax.distributed): each process passes its *local* shard of
+    the global batch and the pieces are assembled into one global array —
+    the reference never scaled past one host (SURVEY.md section 2.10);
+    this is the mesh-agnostic extension point.
+    """
     sh = mesh_lib.batch_sharding(mesh, fold_model=fold_model)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

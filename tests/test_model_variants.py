@@ -1,0 +1,80 @@
+"""Model-level tests for every shipped config variant: the build must
+succeed and produce the right embedding geometry for each head family
+(pps / bpm / youtu) and all the real yaml files must construct a model."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pps_tpu.config import (cfg, reset_cfg, merge_cfg_from_file,
+                            merge_cfg_from_list, assert_and_infer_cfg)
+from pps_tpu.models.model import build_model
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), '..', 'configs')
+
+
+def _small(head, strips, dim, extra=()):
+    merge_cfg_from_list([
+        'MODEL.TYPE', 'generalized_reid',
+        'MODEL.CONV_BODY', 'ResNet.add_ResNet50_conv5_body',
+        'MODEL.NUM_CLASSES', '7',
+        'MODEL.USE_BN', 'True',
+        'FAST_RCNN.ROI_BOX_HEAD', head,
+        'RESNETS.RES5_STRIDE', '1',
+        'REID.SCALE', '(32, 96)',
+        'REID.BPM_STRIP_NUM', str(strips),
+        'REID.BPM_DIM', str(dim),
+        'REID.NORMALIZE_FEATURE', 'True',
+    ] + list(extra))
+    assert_and_infer_cfg(make_immutable=False)
+    return cfg
+
+
+@pytest.mark.parametrize('head,strips,expected_combos', [
+    ('pps_heads.add_pps_part_head', 3, 7),       # 2^3 - 1
+    ('bpm_heads.add_uniform_part_head', 3, 3),   # one per strip
+    ('youtu_heads.add_youtu_part_head', 3, 6),   # n(n+1)/2
+])
+def test_head_families_build_and_extract(head, strips, expected_combos):
+    c = _small(head, strips, 8,
+               extra=['REID.MAX_AVE_FEATURE', 'True'])
+    model = build_model(c)
+    assert model.num_combos == expected_combos
+    assert model.embedding_dim == expected_combos * 8
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 32, 3),
+                    jnp.float32)
+    emb = model.extract_features(params, state, x)
+    assert emb.shape == (2, model.embedding_dim)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(emb, axis=1)),
+                               1.0, rtol=1e-5)
+
+
+def test_all_shipped_configs_build():
+    yamls = sorted(glob.glob(os.path.join(CONFIG_DIR, '*', '*.yaml')))
+    assert len(yamls) >= 12
+    for y in yamls:
+        reset_cfg()
+        merge_cfg_from_file(y)
+        assert_and_infer_cfg(make_immutable=False)
+        model = build_model(cfg)
+        # flagship geometry: 5 strips -> 31 combos x 128 = 3968
+        if 'pps' in os.path.basename(y):
+            assert model.num_combos == 31
+            assert model.embedding_dim == 3968
+
+
+def test_reference_configs_also_parse():
+    """The reference's shipped yamls load unchanged (cfg compat)."""
+    ref = '/root/reference/configs/market1501/pps_crm_triplet_R-50_1x.yaml'
+    if not os.path.exists(ref):
+        pytest.skip('reference not mounted')
+    merge_cfg_from_file(ref)
+    assert_and_infer_cfg(make_immutable=False)
+    model = build_model(cfg)
+    assert model.embedding_dim == 3968
+    assert cfg.REID.P == 8 and cfg.REID.K == 8

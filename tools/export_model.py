@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Export the inference model as a deployable artifact.
+
+The TPU-native analog of the reference's train-pkl -> predict_net protobuf
+deploy converter (/root/reference/tools/convert_pkl_to_pb.py): the jitted
+feature-extraction function is serialized with ``jax.export`` to a
+StableHLO artifact that any XLA runtime (TPU serving, IFRT, PJRT plugins)
+can load without the Python model code.
+
+  python tools/export_model.py --cfg <yaml> --weights model_final.pkl \
+      --out model.stablehlo [--batch 64]
+"""
+
+import argparse
+import logging
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', dest='cfg_file', required=True)
+    parser.add_argument('--weights', default='')
+    parser.add_argument('--out', required=True)
+    parser.add_argument('--batch', type=int, default=64)
+    parser.add_argument('opts', nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from pps_tpu.config import (cfg, merge_cfg_from_file,
+                                merge_cfg_from_list, assert_and_infer_cfg)
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    from pps_tpu.models.model import build_model
+    from pps_tpu.utils.logging import setup_logging
+
+    logger = setup_logging(__name__)
+    merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg(make_immutable=False)
+
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    if args.weights:
+        params, state, _ = ckpt_lib.load_checkpoint(
+            args.weights, model, params, state)
+
+    w, h = cfg.REID.SCALE
+
+    def serve(images):
+        """[B, H, W, 3] BGR mean-subtracted -> [B, E] embeddings."""
+        return model.extract_features(params, state, images)
+
+    spec = jax.ShapeDtypeStruct((args.batch, h, w, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(serve))(spec)
+    blob = exported.serialize()
+    with open(args.out, 'wb') as f:
+        f.write(blob)
+    logger.info('exported %s: batch=%d embedding=%d, %d bytes '
+                '(StableHLO, load with jax.export.deserialize)',
+                args.out, args.batch, model.embedding_dim, len(blob))
+
+
+if __name__ == '__main__':
+    main()
