@@ -91,7 +91,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     total_steps = sched.total_steps()
     stats = TrainingStats(total_steps, log_period=log_period)
 
-    train_state = {'params': params, 'state': state, 'opt': opt_state}
+    train_state = ts_lib.place_train_state(
+        mesh, {'params': params, 'state': state, 'opt': opt_state})
     rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
     cur_lr = None
     global_step = sched.steps_before_epoch(start_epoch)

@@ -67,41 +67,38 @@ def make_train_step(model, cfg, mesh, meta=None, trainable=None,
                                    trainable=trainable, donate=donate)
         return build
 
-    rules_cache = {}
-
-    def jitted(train_state, batch, lr, loss_scale_factor, rng):
-        key = 'k'
-        if key not in rules_cache:
-            p_rules = mesh_lib.param_shardings(mesh, train_state['params'])
-            ts_shard = {
-                'params': p_rules,
-                'state': mesh_lib.tree_shardings(mesh, train_state['state']),
-                'opt': _opt_shardings(mesh, train_state['opt'], p_rules),
-            }
-            b_shard = jax.tree.map(
-                lambda _: mesh_lib.batch_sharding(mesh, fold_model=False),
-                batch)
-            rep = mesh_lib.replicated(mesh)
-            rules_cache[key] = jax.jit(
-                step,
-                in_shardings=(ts_shard, b_shard, rep, rep, rep),
-                out_shardings=(ts_shard, rep),
-                donate_argnums=(0,) if donate else ())
-        return rules_cache[key](train_state, batch, lr,
-                                loss_scale_factor, rng)
-
+    # Shardings are committed by *placement* (place_train_state /
+    # shard_batch put the arrays with NamedShardings once) and the jit
+    # infers the rest.  Explicit in/out_shardings pytrees are deliberately
+    # avoided: with ~900 output leaves they force a per-buffer resharding
+    # path on single-chip PJRT plugins that costs ~100x the step itself
+    # (measured 3.2s vs 36ms on TPU v5e via axon).
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
     jitted.raw_step = step
     return jitted
 
 
-def _opt_shardings(mesh, opt_state, p_rules):
-    out = {}
-    for k, v in opt_state.items():
+def place_train_state(mesh, train_state):
+    """Commit the train-state arrays to their mesh shardings: classifier
+    FCs over 'model' (mesh.param_shardings rules), everything else
+    replicated.  Call once before the step loop; outputs of the jitted
+    step keep these shardings."""
+    p_rules = mesh_lib.param_shardings(mesh, train_state['params'])
+    rep = mesh_lib.replicated(mesh)
+
+    def put_params(tree):
+        return {k: jax.device_put(v, p_rules.get(k, rep))
+                for k, v in tree.items()}
+
+    out = {'params': put_params(train_state['params']),
+           'state': {k: jax.device_put(v, rep)
+                     for k, v in train_state['state'].items()},
+           'opt': {}}
+    for k, v in train_state['opt'].items():
         if isinstance(v, dict):  # momentum / acmgrad mirror params
-            out[k] = {n: p_rules.get(n, mesh_lib.replicated(mesh))
-                      for n in v}
+            out['opt'][k] = put_params(v)
         else:
-            out[k] = mesh_lib.replicated(mesh)
+            out['opt'][k] = jax.device_put(v, rep)
     return out
 
 

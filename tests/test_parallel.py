@@ -65,9 +65,10 @@ def _setup(mesh_shape, num_classes=17, p=4, k=2, triplet=True):
 
 def _run_steps(c, mesh, params, state, opt_state, step, n=2):
     batch = _batch(c.MODEL.NUM_CLASSES, c.REID.P, c.REID.K, 96, 32)
-    ts = {'params': params, 'state': state, 'opt': opt_state}
     logs = None
     with mesh:
+        ts = ts_lib.place_train_state(
+            mesh, {'params': params, 'state': state, 'opt': opt_state})
         dev_batch = ts_lib.shard_batch(mesh, batch)
         for i in range(n):
             ts, logs = step(ts, dev_batch, jnp.float32(0.01),
