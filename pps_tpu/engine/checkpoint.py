@@ -41,16 +41,23 @@ logger = logging.getLogger(__name__)
 def _head_entries(model):
     """Yield (stacked_key, combo_idx, c2_name, kind) for head params."""
     prefix = model.head_param_prefix
+    use_gn = model.head_spec.get('use_gn')
     for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):
         yield prefix + '_conv_w', r, combo_prefix + '_conv_w', 'conv1x1_w'
         yield prefix + '_conv_b', r, combo_prefix + '_conv_b', 'vec'
-        yield prefix + '_bn_s', r, combo_prefix + '_bn_s', 'vec'
-        yield prefix + '_bn_b', r, combo_prefix + '_bn_b', 'vec'
+        if use_gn:  # ConvGN variant (reference reid_heads.py:61-74)
+            yield prefix + '_gn_s', r, combo_prefix + '_gn_s', 'vec'
+            yield prefix + '_gn_b', r, combo_prefix + '_gn_b', 'vec'
+        else:
+            yield prefix + '_bn_s', r, combo_prefix + '_bn_s', 'vec'
+            yield prefix + '_bn_b', r, combo_prefix + '_bn_b', 'vec'
         yield prefix + '_fc_w', r, combo_prefix + '_fc_w', 'fc_w'
         yield prefix + '_fc_b', r, combo_prefix + '_fc_b', 'vec'
 
 
 def _head_state_entries(model):
+    if model.head_spec.get('use_gn'):
+        return
     prefix = model.head_param_prefix
     for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):
         yield prefix + '_bn_rm', r, combo_prefix + '_bn_rm', 'vec'

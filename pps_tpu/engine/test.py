@@ -28,16 +28,26 @@ from pps_tpu.utils.timer import Timer
 logger = logging.getLogger(__name__)
 
 
-def preprocess_images(roidb, cfg, decode_fn=None):
+def preprocess_images(roidb, cfg, decode_fn=None, num_workers=8):
     """Decode + resize the full test set to a [N, H, W, 3] stack
-    (reference core/test.py:970-979 per image)."""
+    (reference core/test.py:970-979, but parallel: cv2 decode/resize
+    release the GIL, so a thread pool scales on host cores)."""
+    from concurrent.futures import ThreadPoolExecutor
     decode_fn = decode_fn or transforms.decode_image
     w, h = cfg.REID.SCALE
     pixel_means = np.asarray(cfg.PIXEL_MEANS)
     out = np.empty((len(roidb), h, w, 3), np.float32)
-    for i, entry in enumerate(roidb):
-        im = decode_fn(entry['image'])
+
+    def work(i):
+        im = decode_fn(roidb[i]['image'])
         out[i] = transforms.prep_im_for_blob(im, pixel_means, (w, h))
+
+    if num_workers > 1 and len(roidb) > 16:
+        with ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(work, range(len(roidb))))
+    else:
+        for i in range(len(roidb)):
+            work(i)
     return out
 
 
@@ -105,6 +115,12 @@ def evaluate_dataset(cfg, feats, roidb, distmat_fn=None, output_dir=None):
     cams = np.array([eval_lib.parse_im_name(e['im_name'], 'cam')
                      for e in roidb])
     marks = np.array([e['mark'] for e in roidb])
+    if distmat_fn is None:
+        import jax
+        if jax.default_backend() != 'cpu':
+            # route the O(Nq*Ng*D) distmat through the accelerator
+            from pps_tpu.ops.distance import euclidean_distmat
+            distmat_fn = euclidean_distmat
     results = eval_lib.evaluate(feats, ids, cams, marks,
                                 to_re_rank=cfg.REID.RERANK,
                                 distmat_fn=distmat_fn)

@@ -113,7 +113,26 @@ def head_spec(cfg, spatial_scale, fpn_level=None):
         'dropout': 0.2 if cfg.REID.DROPOUT_FEATURE else 0.0,
         'normalize_feature': cfg.REID.NORMALIZE_FEATURE,
         'crm': cfg.REID.CRM,
+        # ConvGN head variant (reference reid_heads.py:61-74 USE_GN branch)
+        'use_gn': cfg.MODEL.USE_GN,
+        'gn_groups': (_get_group_gn(cfg, cfg.REID.BPM_DIM)
+                      if cfg.MODEL.USE_GN else 0),
+        'gn_eps': cfg.GROUP_NORM.EPSILON,
     }
+
+
+def _get_group_gn(cfg, dim):
+    """Number of GroupNorm groups for `dim` channels
+    (reference utils/net.py:291-305)."""
+    dim_per_gp = cfg.GROUP_NORM.DIM_PER_GP
+    num_groups = cfg.GROUP_NORM.NUM_GROUPS
+    assert dim_per_gp == -1 or num_groups == -1, \
+        'GroupNorm: can only specify G or C/G.'
+    if dim_per_gp > 0:
+        assert dim % dim_per_gp == 0
+        return dim // dim_per_gp
+    assert dim % num_groups == 0
+    return num_groups
 
 
 def combo_masks(spec):
@@ -199,16 +218,19 @@ def init_head_params(rng, spec, dim_in, param_prefix='reid'):
         param_prefix + '_conv_w':
             jax.random.normal(k1, (r, dim_in, d), jnp.float32) * std,
         param_prefix + '_conv_b': jnp.zeros((r, d), jnp.float32),
-        param_prefix + '_bn_s': jnp.ones((r, d), jnp.float32),
-        param_prefix + '_bn_b': jnp.zeros((r, d), jnp.float32),
         param_prefix + '_fc_w':
             jax.random.normal(k2, (r, d, k), jnp.float32) * 0.001,
         param_prefix + '_fc_b': jnp.zeros((r, k), jnp.float32),
     }
-    state = {
-        param_prefix + '_bn_rm': jnp.zeros((r, d), jnp.float32),
-        param_prefix + '_bn_riv': jnp.ones((r, d), jnp.float32),
-    }
+    state = {}
+    if spec.get('use_gn'):
+        params[param_prefix + '_gn_s'] = jnp.ones((r, d), jnp.float32)
+        params[param_prefix + '_gn_b'] = jnp.zeros((r, d), jnp.float32)
+    else:
+        params[param_prefix + '_bn_s'] = jnp.ones((r, d), jnp.float32)
+        params[param_prefix + '_bn_b'] = jnp.zeros((r, d), jnp.float32)
+        state[param_prefix + '_bn_rm'] = jnp.zeros((r, d), jnp.float32)
+        state[param_prefix + '_bn_riv'] = jnp.ones((r, d), jnp.float32)
     return params, state
 
 
@@ -225,6 +247,22 @@ def apply_head(params, state, combo_feats, spec, train=False,
     x = jnp.einsum('brc,rcd->brd', combo_feats, params[p + '_conv_w'],
                    preferred_element_type=jnp.float32)
     x = x + params[p + '_conv_b'][None]
+
+    if spec.get('use_gn'):
+        # GroupNorm over D per (sample, combo) — no batch statistics
+        # (reference ConvGN, reid_heads.py:61-74)
+        bsz, r, d = x.shape
+        g = spec['gn_groups']
+        xg = x.reshape(bsz, r, g, d // g)
+        mean = jnp.mean(xg, axis=3, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=3, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + spec['gn_eps'])
+        x = xg.reshape(bsz, r, d)
+        x = x * params[p + '_gn_s'][None] + params[p + '_gn_b'][None]
+        features = jax.nn.relu(x)
+        updates = {}
+        return _head_fc(params, features, spec, train, dropout_rng, p,
+                        updates)
 
     # SpatialBN on [B, D, 1, 1] per combo: batch stats over axis 0 only
     s, b = params[p + '_bn_s'], params[p + '_bn_b']
@@ -244,7 +282,11 @@ def apply_head(params, state, combo_feats, spec, train=False,
     x = (x - mean) * (jax.lax.rsqrt(var + BN_EPSILON) * s) + b
 
     features = jax.nn.relu(x)
+    return _head_fc(params, features, spec, train, dropout_rng, p, updates)
 
+
+def _head_fc(params, features, spec, train, dropout_rng, p, updates):
+    """Dropout + per-combo FC classifier (reference reid_heads.py:81-90)."""
     fc_in = features
     if train and spec['dropout'] > 0.0:
         assert dropout_rng is not None, 'dropout needs an rng in train mode'

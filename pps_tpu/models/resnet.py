@@ -120,7 +120,7 @@ def init_resnet_params(rng, spec):
             _init_conv_bn(rngs, params, state, prefix + '_branch2a',
                           1, 1, dim_in, dim_inner)
             _init_conv_bn(rngs, params, state, prefix + '_branch2b',
-                          3, 3, dim_inner, dim_inner)
+                          3, 3, dim_inner // spec['num_groups'], dim_inner)
             _init_conv_bn(rngs, params, state, prefix + '_branch2c',
                           1, 1, dim_inner, dim_out)
             dim_in = dim_out
@@ -132,10 +132,12 @@ def init_resnet_params(rng, spec):
 # ---------------------------------------------------------------------------
 
 
-def conv2d(x, w, stride=1, dilation=1, padding='SAME_LOWER', dtype=None):
+def conv2d(x, w, stride=1, dilation=1, padding='SAME_LOWER', dtype=None,
+           groups=1):
     """NHWC conv. ``SAME_LOWER`` = explicit symmetric pad matching Caffe2's
     pad=k//2 convention (identical to XLA SAME for odd kernels and stride 1;
-    we pass explicit pads so stride-2 matches Caffe2 exactly)."""
+    we pass explicit pads so stride-2 matches Caffe2 exactly).  groups > 1 =
+    ResNeXt grouped convolution (reference ResNet.py:276-343 group arg)."""
     kh, kw = w.shape[0], w.shape[1]
     ph = ((kh - 1) * dilation) // 2
     pw = ((kw - 1) * dilation) // 2
@@ -148,6 +150,7 @@ def conv2d(x, w, stride=1, dilation=1, padding='SAME_LOWER', dtype=None):
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
     )
 
 
@@ -178,9 +181,9 @@ def batch_norm(x, params, state, name, train, stats_axes=(0, 1, 2)):
 
 
 def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
-             dtype=None):
+             dtype=None, groups=1):
     y = conv2d(x, params[name + '_w'], stride=stride, dilation=dilation,
-               dtype=dtype)
+               dtype=dtype, groups=groups)
     y, upd = batch_norm(y, {'_s': params[name + '_bn_s'],
                             '_b': params[name + '_bn_b']},
                         {'_rm': state[name + '_bn_rm'],
@@ -192,7 +195,7 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
 
 
 def bottleneck_block(x, params, state, updates, prefix, stride, dilation,
-                     stride_1x1, train, dtype=None):
+                     stride_1x1, train, dtype=None, groups=1):
     """1x1 -> 3x3 -> 1x1 bottleneck (reference ResNet.py:276-343)."""
     str1, str3 = (stride, 1) if stride_1x1 else (1, stride)
 
@@ -205,7 +208,8 @@ def bottleneck_block(x, params, state, updates, prefix, stride, dilation,
                    stride=str1, dtype=dtype)
     cur = jax.nn.relu(cur)
     cur = _conv_bn(cur, params, state, updates, prefix + '_branch2b', train,
-                   stride=str3, dilation=dilation, dtype=dtype)
+                   stride=str3, dilation=dilation, dtype=dtype,
+                   groups=groups)
     cur = jax.nn.relu(cur)
     cur = _conv_bn(cur, params, state, updates, prefix + '_branch2c', train,
                    stride=1, dtype=dtype)
@@ -262,7 +266,8 @@ def apply_resnet(params, state, x, spec, train=False,
                 stride=stride if i == 0 else 1,
                 dilation=dilation,
                 stride_1x1=spec['stride_1x1'],
-                train=train, dtype=dtype)
+                train=train, dtype=dtype,
+                groups=spec['num_groups'])
         stages[stage] = cur
         # reference freezes by StopGradient at stage boundaries
         # (FREEZE_AT semantics, reference ResNet.py:100-108)

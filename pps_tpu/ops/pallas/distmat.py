@@ -20,20 +20,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _distmat_kernel(q_ref, g_ref, qn_ref, gn_ref, out_ref, acc_ref, *,
+def _distmat_kernel(q_ref, g_ref, qn_ref, gn_ref, out_ref, *,
                     nd, sqrt_out):
+    # accumulate the cross term directly in the (VMEM-resident) out block:
+    # the k-grid revisits the same (i, j) block, so out_ref doubles as the
+    # accumulator and the norm terms fuse into the last k step.
     d = pl.program_id(2)
 
     @pl.when(d == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc_ref[:] += jnp.dot(q_ref[:], g_ref[:].T,
+    out_ref[:] += jnp.dot(q_ref[:], g_ref[:].T,
                           preferred_element_type=jnp.float32)
 
     @pl.when(d == nd - 1)
     def _():
-        d2 = qn_ref[:] + gn_ref[:] - 2.0 * acc_ref[:]
+        d2 = qn_ref[:] + gn_ref[:] - 2.0 * out_ref[:]
         d2 = jnp.maximum(d2, 0.0)
         out_ref[:] = jnp.sqrt(d2) if sqrt_out else d2
 
@@ -41,7 +44,7 @@ def _distmat_kernel(q_ref, g_ref, qn_ref, gn_ref, out_ref, acc_ref, *,
 @functools.partial(jax.jit, static_argnames=('block_q', 'block_g',
                                              'block_d', 'sqrt_out',
                                              'interpret'))
-def pallas_euclidean_distmat(q, g, block_q=256, block_g=512, block_d=512,
+def pallas_euclidean_distmat(q, g, block_q=512, block_g=512, block_d=1024,
                              sqrt_out=True, interpret=False):
     """[Nq, D] x [Ng, D] -> [Nq, Ng] Euclidean distances (sqrt, clamped),
     matching the reference compute_dist semantics.  Inputs are padded to
@@ -84,7 +87,8 @@ def pallas_euclidean_distmat(q, g, block_q=256, block_g=512, block_d=512,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp.shape[0], gp.shape[0]),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q, block_g), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp.shape[0] * gp.shape[0] * qp.shape[1],
             bytes_accessed=(qp.size + gp.size +

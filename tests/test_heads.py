@@ -110,3 +110,39 @@ def test_test_embedding_l2_norm():
     assert emb.shape == (4, 112)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(emb), axis=1), np.ones(4), atol=1e-5)
+
+
+def test_group_norm_head():
+    """USE_GN replaces the per-combo BN with GroupNorm
+    (reference reid_heads.py:61-74 ConvGN branch)."""
+    import jax
+    import jax.numpy as jnp
+    from pps_tpu.config import cfg, merge_cfg_from_list, assert_and_infer_cfg
+    from pps_tpu.models.model import build_model
+    merge_cfg_from_list([
+        'MODEL.TYPE', 'generalized_reid',
+        'MODEL.CONV_BODY', 'ResNet.add_ResNet50_conv5_body',
+        'MODEL.NUM_CLASSES', '5', 'MODEL.USE_BN', 'True',
+        'MODEL.USE_GN', 'True',
+        'FAST_RCNN.ROI_BOX_HEAD', 'pps_heads.add_pps_part_head',
+        'GROUP_NORM.NUM_GROUPS', '4',
+        'REID.SCALE', '(32, 96)', 'REID.BPM_STRIP_NUM', '3',
+        'REID.BPM_DIM', '16', 'REID.NORMALIZE_FEATURE', 'True'])
+    assert_and_infer_cfg(make_immutable=False)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert 'pps_gn_s' in params and 'pps_bn_s' not in params
+    assert not any(k.startswith('pps_bn') for k in state)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 32, 3),
+                    jnp.float32)
+    emb = model.extract_features(params, state, x)
+    assert emb.shape == (2, model.embedding_dim)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(emb, axis=1)), 1.0, rtol=1e-5)
+    # train path works and GN gets gradients
+    labels = np.array([0, 1], np.int32)
+    oh = np.zeros((2, 4), np.float32); oh[np.arange(2), labels] = 1
+    batch = {'data': np.asarray(x), 'labels_int32': labels, 'labels_oh': oh}
+    g = jax.grad(lambda p: model.train_forward(
+        p, state, batch, jax.random.PRNGKey(1), jnp.float32(0.0))[0])(params)
+    assert float(jnp.max(jnp.abs(g['pps_gn_s']))) > 0
