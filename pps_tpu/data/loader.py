@@ -55,6 +55,14 @@ class ReIDLoader(object):
         self._exc = []
 
     # -- plan ---------------------------------------------------------------
+    def skip_epochs(self, n):
+        """Advance the samplers past the first n epochs without decoding,
+        so training resumed at epoch n samples exactly like a continuous
+        run (the reference restored its loader cursor via set_start_iter,
+        loader.py:124 + train.py:214)."""
+        for ep in range(n):
+            self.plan_epoch(ep)
+
     def plan_epoch(self, ep):
         """[(step_in_epoch, mode, loss_scale, indices)] for epoch ep.
         Sampling happens here, single-threaded => deterministic."""

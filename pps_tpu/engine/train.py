@@ -87,6 +87,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
 
     loader = ReIDLoader(roidb, cfg, num_workers=num_workers,
                         decode_fn=decode_fn, device_put_fn=device_put_fn)
+    if start_epoch > 0:
+        loader.skip_epochs(start_epoch)  # resume sampling determinism
     sched = loader.schedule
     total_steps = sched.total_steps()
     stats = TrainingStats(total_steps, log_period=log_period)

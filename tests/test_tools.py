@@ -127,3 +127,71 @@ def test_loss_vs_map_parsing(tmp_path):
     final, series = loss_vs_map.get_map(str(log))
     assert final == 81.25
     assert series == [70.0]
+
+
+def test_from_cuhk03_mat(tmp_path):
+    """Synthetic cuhk-03.mat (v7.3-style object refs, transposed arrays)
+    -> labeled/detected image dirs + jsons."""
+    import h5py
+    import reid_to_coco
+
+    mat_path = str(tmp_path / 'cuhk-03.mat')
+    rng = np.random.RandomState(0)
+    n_ids_per_pair, n_pairs = 3, 2
+    with h5py.File(mat_path, 'w') as f:
+        def make_cell(tag):
+            pair_refs = []
+            for p in range(n_pairs):
+                # cell matrix [n_ids, 10] of refs to images, stored
+                # transposed like matlab v7.3 ([10, n_ids] on disk)
+                img_refs = np.empty((10, n_ids_per_pair), dtype=h5py.ref_dtype)
+                for i in range(n_ids_per_pair):
+                    for j in range(10):
+                        if j in (4, 9):  # simulate missing tail images
+                            im = np.zeros((2, 0), np.uint8)
+                        else:
+                            im = rng.randint(
+                                0, 255, (40, 20, 3)).astype(np.uint8)
+                        ds = f.create_dataset(
+                            '{}_p{}_i{}_j{}'.format(tag, p, i, j),
+                            data=im.T)
+                        img_refs[j, i] = ds.ref
+                cell = f.create_dataset('{}_pair{}'.format(tag, p),
+                                        data=img_refs)
+                pair_refs.append(cell.ref)
+            # matlab 5x1 cell stored transposed -> [1, n_pairs] on disk
+            arr = np.empty((1, len(pair_refs)), dtype=h5py.ref_dtype)
+            for i, r in enumerate(pair_refs):
+                arr[0, i] = r
+            f.create_dataset(tag, data=arr)
+        make_cell('labeled')
+        make_cell('detected')
+
+    # split pkl naming images of ids 0..5 (cam 0 file 0 / cam 1 file 0)
+    def name(pid, cam, i):
+        return '{:08d}_{:04d}_{:08d}.jpg'.format(pid, cam, i)
+    split = {}
+    for t in ('labeled', 'detected'):
+        split[t] = {
+            'train_im_names': [name(p, 0, 0) for p in range(4)],
+            'query_im_names': [name(4, 0, 0), name(5, 0, 0)],
+            'gallery_im_names': [name(4, 1, 0), name(5, 1, 0)],
+        }
+    split_pkl = str(tmp_path / 'split.pkl')
+    with open(split_pkl, 'wb') as f:
+        pickle.dump(split, f)
+
+    save = str(tmp_path / 'out')
+    reid_to_coco.from_cuhk03_mat(mat_path, split_pkl, save)
+    for t in ('labeled', 'detected'):
+        with open(os.path.join(save, t, 'trainval.json')) as f:
+            tr = json.load(f)
+        assert len(tr['images']) == 4
+        assert len(tr['categories']) == 4
+        with open(os.path.join(save, t, 'test.json')) as f:
+            te = json.load(f)
+        assert [a['mark'] for a in te['annotations']] == [0, 0, 1, 1]
+        # images extracted with 4 files per (id, cam) (5th was empty)
+        import glob as g
+        files = g.glob(os.path.join(save, t, 'images', '00000000_0000_*'))
+        assert len(files) == 4

@@ -181,6 +181,69 @@ def from_raw(raw_dir, save_dir, dataset):
                     test_marks, os.path.join(save_dir, 'test.json'))
 
 
+def extract_cuhk03_mat(mat_file, save_dir):
+    """Extract cuhk-03.mat (HDF5/v7.3) into labeled/ and detected/ image
+    dirs with the PCB naming (reference transform_cuhk03.py:178-217):
+    per camera pair, per identity, columns 0:5 = cam 0, 5:10 = cam 1;
+    v7.3 arrays are stored transposed, hence the .T on deref."""
+    import cv2
+    import h5py
+
+    mat = h5py.File(mat_file, 'r')
+
+    def deref(ref):
+        return mat[ref][:].T
+
+    dirs = {t: os.path.join(save_dir, t, 'images')
+            for t in ('labeled', 'detected')}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    def dump(refs, pid, cam, im_dir):
+        for i, ref in enumerate(refs):
+            im = deref(ref)
+            if im.size == 0 or im.ndim < 2:
+                break
+            name = NEW_IM_NAME_TMPL.format(pid, cam, i)
+            # mat images are RGB; cv2 writes BGR
+            cv2.imwrite(os.path.join(im_dir, name), im[:, :, ::-1])
+
+    pid = 0
+    for lab_ref, det_ref in zip(mat['labeled'][0], mat['detected'][0]):
+        labeled, detected = deref(lab_ref), deref(det_ref)
+        assert labeled.shape == detected.shape
+        for i in range(labeled.shape[0]):
+            dump(labeled[i, :5], pid, 0, dirs['labeled'])
+            dump(labeled[i, 5:], pid, 1, dirs['labeled'])
+            dump(detected[i, :5], pid, 0, dirs['detected'])
+            dump(detected[i, 5:], pid, 1, dirs['detected'])
+            pid += 1
+    print('extracted {} identities'.format(pid))
+
+
+def from_cuhk03_mat(mat_file, split_pkl, save_dir):
+    """cuhk-03.mat + the (externally provided, like the reference)
+    train/test split pkl -> labeled/ + detected/ images and jsons."""
+    extract_cuhk03_mat(mat_file, save_dir)
+    with open(split_pkl, 'rb') as f:
+        split = pickle.load(f, encoding='latin1')
+    for im_type in ('detected', 'labeled'):
+        part = split[im_type]
+        type_dir = os.path.join(save_dir, im_type)
+        im_dir = os.path.join(type_dir, 'images')
+        trainval = [str(n) for n in part['train_im_names']]
+        ids2labels = {pid: i for i, pid in enumerate(
+            sorted({int(os.path.basename(n)[:8]) for n in trainval}))}
+        write_coco_json(im_dir, trainval, ids2labels, None,
+                        os.path.join(type_dir, 'trainval.json'))
+        test = ([str(n) for n in part['query_im_names']] +
+                [str(n) for n in part['gallery_im_names']])
+        marks = [0] * len(part['query_im_names']) + \
+            [1] * len(part['gallery_im_names'])
+        write_coco_json(im_dir, test, _labels_from_names(test), marks,
+                        os.path.join(type_dir, 'test.json'))
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest='mode', required=True)
@@ -191,9 +254,17 @@ def main():
     p2.add_argument('save_dir')
     p2.add_argument('--dataset', choices=['market1501', 'duke'],
                     required=True)
+    p3 = sub.add_parser('from-cuhk03-mat')
+    p3.add_argument('mat_file', help='cuhk-03.mat from cuhk03_release')
+    p3.add_argument('split_pkl',
+                    help='re_ranking_train_test_split.pkl (external)')
+    p3.add_argument('save_dir')
     args = parser.parse_args()
     if args.mode == 'from-partitions':
         from_partitions(args.save_dir)
+    elif args.mode == 'from-cuhk03-mat':
+        os.makedirs(args.save_dir, exist_ok=True)
+        from_cuhk03_mat(args.mat_file, args.split_pkl, args.save_dir)
     else:
         os.makedirs(args.save_dir, exist_ok=True)
         from_raw(args.raw_dir, args.save_dir, args.dataset)
