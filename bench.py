@@ -49,7 +49,7 @@ def main():
 
     w, h = cfg.REID.SCALE
     rng = np.random.RandomState(0)
-    batch = 256 * n_chips
+    batch = 512 * n_chips
     images = jax.device_put(rng.randn(batch, h, w, 3).astype(np.float32))
     ips_chip = _throughput(fn, (params, state, images), batch) / n_chips
 

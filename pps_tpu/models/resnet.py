@@ -184,6 +184,9 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
              dtype=None, groups=1):
     y = conv2d(x, params[name + '_w'], stride=stride, dilation=dilation,
                dtype=dtype, groups=groups)
+    if not train and (name + '_fb') in params:
+        # BN pre-folded into the conv (models/folding.py): add bias only
+        return y + params[name + '_fb'].astype(y.dtype)
     y, upd = batch_norm(y, {'_s': params[name + '_bn_s'],
                             '_b': params[name + '_bn_b']},
                         {'_rm': state[name + '_bn_rm'],
@@ -244,13 +247,18 @@ def apply_resnet(params, state, x, spec, train=False,
         spec.get('dtype', 'float32')]
     updates = {}
     cur = conv2d(x, params['conv1_w'], stride=2, dtype=dtype)
-    cur, upd = batch_norm(
-        cur,
-        {'_s': params['res_conv1_bn_s'], '_b': params['res_conv1_bn_b']},
-        {'_rm': state['res_conv1_bn_rm'], '_riv': state['res_conv1_bn_riv']},
-        '', train)
-    for k, v in upd.items():
-        updates['res_conv1_bn' + k] = v
+    if not train and 'conv1_fb' in params:
+        cur = cur + params['conv1_fb'].astype(cur.dtype)
+    else:
+        cur, upd = batch_norm(
+            cur,
+            {'_s': params['res_conv1_bn_s'],
+             '_b': params['res_conv1_bn_b']},
+            {'_rm': state['res_conv1_bn_rm'],
+             '_riv': state['res_conv1_bn_riv']},
+            '', train)
+        for k, v in upd.items():
+            updates['res_conv1_bn' + k] = v
     cur = jax.nn.relu(cur)
     cur = max_pool_3x3_s2(cur)
     if spec['freeze_at'] == 1:

@@ -21,6 +21,9 @@ def main():
     parser.add_argument('--weights', default='')
     parser.add_argument('--out', required=True)
     parser.add_argument('--batch', type=int, default=64)
+    parser.add_argument('--fold-bn', dest='fold_bn', action='store_true',
+                        help='fold backbone BN into conv weights before '
+                             'export (models/folding.py)')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -45,6 +48,9 @@ def main():
     if args.weights:
         params, state, _ = ckpt_lib.load_checkpoint(
             args.weights, model, params, state)
+    if args.fold_bn:
+        from pps_tpu.models.folding import fold_conv_bn
+        params = fold_conv_bn(params, state)
 
     w, h = cfg.REID.SCALE
 
