@@ -207,6 +207,10 @@ __C.TPU.MESH_SHAPE = (-1, 1)
 __C.TPU.NUM_DEVICES = -1
 # Donate input buffers in the jitted train step.
 __C.TPU.DONATE = True
+# Rematerialize the conv body in the backward pass (jax.checkpoint): trades
+# ~2x backbone forward FLOPs for not storing its activations — the memonger
+# analog (reference utils/train.py:196-207) for large-batch training.
+__C.TPU.REMAT = False
 
 # ---------------------------------------------------------------------------- #
 # Misc options

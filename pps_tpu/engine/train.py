@@ -106,6 +106,25 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     profile_dir = os.environ.get('PPS_TPU_PROFILE_DIR')
     profile_window = (5, 15)
 
+    # structure dump (the reference's net.pbtxt/print_net analog,
+    # utils/train.py:244-250): jaxpr of the train step to OUTPUT_DIR.
+    if os.environ.get('PPS_TPU_DUMP_JAXPR'):
+        # abstract tracing only — does not consume sampler state
+        gb = sched.global_batch
+        w_, h_ = cfg.REID.SCALE
+        b0 = {'data': jax.ShapeDtypeStruct((gb, h_, w_, 3), jnp.float32),
+              'labels_int32': jax.ShapeDtypeStruct((gb,), jnp.int32),
+              'labels_oh': jax.ShapeDtypeStruct(
+                  (gb, cfg.MODEL.NUM_CLASSES - 1), jnp.float32)}
+        jaxpr = jax.make_jaxpr(step_fn.raw_step)(
+            train_state, b0, jnp.float32(0.01), jnp.float32(0.0),
+            jax.random.PRNGKey(0))
+        with open(os.path.join(output_dir, 'train_step.jaxpr.txt'),
+                  'w') as f:
+            f.write(str(jaxpr))
+        logger.info('wrote train_step.jaxpr.txt (%d eqns)',
+                    len(jaxpr.jaxpr.eqns))
+
     with mesh:
         for ep in range(start_epoch, cfg.SOLVER.MAX_ITER):
             for i, loss_scale, batch in loader.iter_epoch(ep):

@@ -102,14 +102,21 @@ class ReIDModel:
         """Returns (features [B', R, D], logits [B', R, K], updates) where
         B' = B, or B * FPN_NUM under shared FPN training (level-major batch
         concat, reference pps_heads.py:119-142)."""
+        remat = train and self.cfg.TPU.REMAT
         if self.fpn_spec is None:
-            feat, updates = resnet_lib.apply_resnet(
-                params, state, images, self.resnet_spec, train=train)
+            body = lambda p, s, im: resnet_lib.apply_resnet(
+                p, s, im, self.resnet_spec, train=train)
+            if remat:
+                body = jax.checkpoint(body)
+            feat, updates = body(params, state, images)
             combo_feats = self._combo_feats(feat, self.head_spec['splits'])
         else:
-            _, stages, updates = resnet_lib.apply_resnet(
-                params, state, images, self.resnet_spec, train=train,
+            body = lambda p, s, im: resnet_lib.apply_resnet(
+                p, s, im, self.resnet_spec, train=train,
                 return_stages=True)
+            if remat:
+                body = jax.checkpoint(body)
+            _, stages, updates = body(params, state, images)
             pyramid, fpn_upd = fpn_lib.apply_fpn(
                 params, state, stages, self.fpn_spec, train=train)
             updates.update(fpn_upd)

@@ -151,3 +151,29 @@ def test_flip_tta_normalized():
     with mesh:
         f = np.asarray(fn(params, state, images))
     np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)
+
+
+def test_remat_train_step():
+    """TPU.REMAT recomputes the backbone in backward; loss must match the
+    non-remat step exactly."""
+    c = _tiny_cfg(triplet=False)
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = _batch(c.MODEL.NUM_CLASSES, c.REID.P, c.REID.K, 96, 32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss(p, remat):
+        c.TPU.REMAT = remat
+        m = build_model(c)
+        return m.train_forward(p, state, batch, jax.random.PRNGKey(1),
+                               jnp.float32(0.0))[0]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recomputation changes fusion order; ReLU/max-pool near-ties flip
+    # individual routings (see test_dp_matches_single_device), so assert
+    # on the aggregate gradient norm.
+    n0 = np.sqrt(sum(float(jnp.sum(jnp.square(v))) for v in g0.values()))
+    n1 = np.sqrt(sum(float(jnp.sum(jnp.square(v))) for v in g1.values()))
+    np.testing.assert_allclose(n0, n1, rtol=2e-2)

@@ -11,6 +11,12 @@ can load without the Python model code.
       --out model.stablehlo [--batch 64]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import logging
 

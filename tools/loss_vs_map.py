@@ -8,6 +8,12 @@ newest-first by tools/train_net.py, so the mAP list is reversed).
 Matplotlib is optional; without it the parsed series are printed.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import glob
 import json

@@ -22,6 +22,12 @@ json format matches the reference converter: categories carry the raw
 ``classes_or_attributions: 0`` (bpm_to_coco.py:120-143).
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import glob
 import json

@@ -7,6 +7,12 @@ and sharded over the device mesh in one process.  ``--wait`` keeps the
 poll-for-weights contract used by the epoch-sweep scripts.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import logging
 import os

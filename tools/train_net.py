@@ -6,6 +6,12 @@ CLI-compatible rebuild of /root/reference/tools/train_net.py:87-128:
 Trains, then tests the final model and every snapshot epoch in reverse.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import argparse
 import logging
 import pprint
