@@ -59,8 +59,8 @@ class TrainingStats(object):
             self.smoothed_total_loss.AddValue(self.iter_total_loss)
         self._pending = []
 
-    def LogIterStats(self, cur_iter, lr, extra=None):
-        if (cur_iter % self.LOG_PERIOD == 0
+    def LogIterStats(self, cur_iter, lr, extra=None, force=False):
+        if (force or cur_iter % self.LOG_PERIOD == 0
                 or cur_iter == self.max_iter - 1):
             self._drain()
             stats = self.GetStats(cur_iter, lr)

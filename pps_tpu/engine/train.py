@@ -150,7 +150,10 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                     jnp.float32(loss_scale), step_rng)
                 stats.IterToc()
                 stats.UpdateIterStats(logs)
-                stats.LogIterStats(global_step, lr, extra={'epoch': ep})
+                # force a line on the last step of each epoch so short
+                # triplet sub-epochs (4 steps at P8 on Market) always log
+                stats.LogIterStats(global_step, lr, extra={'epoch': ep},
+                                   force=(i == sched.epoch_len(ep) - 1))
                 global_step += 1
                 if global_step % stats.LOG_PERIOD == 0 and np.isnan(
                         stats.iter_total_loss):

@@ -177,3 +177,22 @@ def test_remat_train_step():
     n0 = np.sqrt(sum(float(jnp.sum(jnp.square(v))) for v in g0.values()))
     n1 = np.sqrt(sum(float(jnp.sum(jnp.square(v))) for v in g1.values()))
     np.testing.assert_allclose(n0, n1, rtol=2e-2)
+
+
+def test_triplet_loss_scale_factor():
+    """TRIPLET_LOSS_CROSS: the triplet term is gated by the traced
+    loss_scale_factor (reference triplet_loss.py:160-171)."""
+    c = _tiny_cfg(triplet=True)
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = _batch(c.MODEL.NUM_CLASSES, c.REID.P, c.REID.K, 96, 32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, (_, logs0) = model.train_forward(params, state, batch,
+                                        jax.random.PRNGKey(1),
+                                        jnp.float32(0.0))
+    _, (_, logs1) = model.train_forward(params, state, batch,
+                                        jax.random.PRNGKey(1),
+                                        jnp.float32(1.0))
+    key = [k for k in logs1 if k.endswith('_triplet_loss')][0]
+    assert float(logs0[key]) == 0.0
+    assert float(logs1[key]) > 0.0
