@@ -83,9 +83,11 @@ def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
       rank_pos[i, j] = position of j in i's sorted neighbor list
       in_topk[i, j]  = rank_pos[i, j] <= k
       reciprocal     = in_topk & in_topk.T  (restricted to i's top-k)
-    and the 2/3-overlap expansion is one masked matmul.  O(N^2) memory —
-    intended for on-device galleries up to ~20k (Market/Duke scale); the
-    numpy path remains the golden reference.
+    and the 2/3-overlap expansion is one masked matmul.  O(N^2) memory
+    with several [N, N] temporaries — fits ~8k total images on a 16 GB
+    chip (full Market scale, 19k, exhausts HBM; use the native C++ path
+    there, 13.9 s single-core).  The numpy path remains the golden
+    reference.
     """
     import jax
     import jax.numpy as jnp
