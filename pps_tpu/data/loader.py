@@ -78,7 +78,6 @@ class ReIDLoader(object):
 
     # -- worker pool --------------------------------------------------------
     def _worker(self, wid):
-        rng = np.random.RandomState(self._seed + 1000 + wid)
         while not self._stop.is_set():
             try:
                 item = self._plan_q.get(timeout=0.1)
@@ -88,6 +87,12 @@ class ReIDLoader(object):
                 return
             slot, (i, mode, scale, idx) = item
             try:
+                # augmentation rng keyed by (epoch, step), NOT by worker:
+                # batch->worker assignment is racy, so per-worker streams
+                # would make augmentation depend on thread scheduling.
+                rng = np.random.RandomState(
+                    (self._seed * 1000003 + self._cur_ep * 10007 + i)
+                    % (2 ** 31))
                 entries = [self._roidb[j] for j in idx]
                 batch = minibatch_lib.get_minibatch(
                     entries, self._cfg, rng, train=True,
@@ -108,6 +113,7 @@ class ReIDLoader(object):
         plan = self.plan_epoch(ep)
         if not plan:
             return
+        self._cur_ep = ep
         self._slots = [None] * len(plan)
         self._sem = threading.Semaphore(0)
         self._stop.clear()

@@ -213,3 +213,28 @@ def test_loader_plan_deterministic(tmp_path):
     p1 = l1.plan_epoch(0)
     p2 = l2.plan_epoch(0)
     assert [x[3] for x in p1] == [x[3] for x in p2]
+
+
+def test_loader_batches_deterministic_across_worker_counts(tmp_path):
+    """Sampling AND augmentation must not depend on thread scheduling:
+    the same epoch yields bit-identical batches for any worker count."""
+    imdir, ann_fn = _write_coco(tmp_path, n_ids=6, per_id=4)
+    catalog.register_dataset('toy_det2', imdir, ann_fn)
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '7',
+                         'TRAIN.IMS_PER_BATCH', '8',
+                         'REID.SCALE', '(32, 96)',
+                         'REID.RANDOM_ERASING_PROB', '0.9',
+                         'REID.CROP_PROB', '0.5',
+                         'REID.CROP_RATIO', '0.8'])
+    roidb, _ = combined_roidb_for_training('toy_det2')
+
+    def batches(workers):
+        loader = ReIDLoader(roidb, cfg, num_workers=workers,
+                            decode_fn=_fake_decode)
+        return [b['data'].copy() for _, _, b in loader.iter_epoch(0)]
+
+    b1 = batches(1)
+    b3 = batches(3)
+    assert len(b1) == len(b3) > 0
+    for a, b in zip(b1, b3):
+        np.testing.assert_array_equal(a, b)
