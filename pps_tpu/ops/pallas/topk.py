@@ -9,6 +9,11 @@ top-k is merged per chunk with ``jax.lax.top_k``.  Peak memory is
 O(Nq * (chunk + k)) — gallery size scales past HBM exactly like blockwise
 attention scales past sequence length (SURVEY.md section 5, long-context
 analog).
+
+Why not a Pallas kernel: Mosaic has no lowering for sort/top_k primitives
+(verified on v5e), so the selection step cannot live inside a kernel; the
+lax.scan + MXU-matmul formulation below compiles to the same tiling with
+XLA's native top-k.
 """
 
 import functools

@@ -131,3 +131,17 @@ def test_batch_hard_under_vmap():
         ap_np, an_np, _, _ = np_batch_hard(dists[r], labels)
         np.testing.assert_allclose(np.asarray(ap[r]), ap_np, atol=1e-6)
         np.testing.assert_allclose(np.asarray(an[r]), an_np, atol=1e-6)
+
+
+def test_euclidean_distmat_fast_path():
+    """bf16 cross-term path stays close to f32 on unit-norm features."""
+    import numpy as np
+    from pps_tpu.ops.distance import euclidean_distmat
+    rng = np.random.RandomState(0)
+    q = rng.randn(33, 96).astype(np.float32)
+    g = rng.randn(57, 96).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    d32 = np.asarray(euclidean_distmat(q, g))
+    dbf = np.asarray(euclidean_distmat(q, g, fast=True))
+    np.testing.assert_allclose(dbf, d32, atol=5e-3)
