@@ -18,7 +18,10 @@ logger = logging.getLogger(__name__)
 
 def visualize_rank_lists(distmat, query_ids, gallery_ids, query_cams,
                          gallery_cams, query_paths, gallery_paths,
-                         output_dir, topk=10, max_queries=None):
+                         output_dir, topk=10, max_queries=None,
+                         skip_no_match=True):
+    """skip_no_match=False keeps queries with no ground-truth match (the
+    serving case where gallery ids are unknown)."""
     os.makedirs(output_dir, exist_ok=True)
     query_paths = np.asarray(query_paths)
     gallery_paths = np.asarray(gallery_paths)
@@ -32,7 +35,7 @@ def visualize_rank_lists(distmat, query_ids, gallery_ids, query_cams,
         valid = ((gallery_ids[indices[i]] != query_ids[i]) |
                  (gallery_cams[indices[i]] != query_cams[i]))
         y_true = matches[i, valid]
-        if not np.any(y_true):
+        if skip_no_match and not np.any(y_true):
             continue
         im_query = cv2.imread(str(query_paths[i]), cv2.IMREAD_COLOR)
         if im_query is None:

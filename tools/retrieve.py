@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Retrieval serving CLI: embed query images and return top-k gallery
+matches.
+
+The serving surface the reference never shipped (its closest analogs are
+the dormant detection demos tools/infer*.py): loads a trained checkpoint,
+embeds a gallery directory once (features cached to gallery_features.npz),
+then answers query images with `streaming_topk` — Euclidean top-k over the
+gallery without materializing the full distance matrix.
+
+  python tools/retrieve.py --cfg <yaml> --weights model_final.pkl \
+      --gallery DIR --query IMG [IMG ...] [--topk 10] [--vis OUT_DIR]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def embed(cfg, model, params, state, paths, mesh):
+    from pps_tpu.engine.test import extract_dataset_features
+    roidb = [{'image': p, 'im_name': os.path.basename(p)} for p in paths]
+    return extract_dataset_features(cfg, model, params, state, roidb,
+                                    mesh=mesh)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', dest='cfg_file', required=True)
+    parser.add_argument('--weights', required=True)
+    parser.add_argument('--gallery', required=True,
+                        help='directory of gallery jpgs')
+    parser.add_argument('--query', nargs='+', required=True)
+    parser.add_argument('--topk', type=int, default=10)
+    parser.add_argument('--vis', default=None,
+                        help='write rank-list grids to this directory')
+    parser.add_argument('--refresh-cache', action='store_true')
+    parser.add_argument('opts', nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import jax
+    from pps_tpu.config import (cfg, merge_cfg_from_file,
+                                merge_cfg_from_list, assert_and_infer_cfg)
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    from pps_tpu.models.model import build_model
+    from pps_tpu.ops.pallas.topk import streaming_topk
+    from pps_tpu.parallel import mesh as mesh_lib
+    from pps_tpu.utils.logging import setup_logging
+
+    logger = setup_logging(__name__)
+    merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg(make_immutable=False)
+
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
+    params, state, _ = ckpt_lib.load_checkpoint(args.weights, model,
+                                                params, state)
+    mesh = mesh_lib.build_mesh(cfg)
+
+    gallery_paths = sorted(
+        glob.glob(os.path.join(args.gallery, '*.jpg')) +
+        glob.glob(os.path.join(args.gallery, '*.png')))
+    assert gallery_paths, 'no images in {}'.format(args.gallery)
+
+    cache = os.path.join(args.gallery, 'gallery_features.npz')
+    if os.path.exists(cache) and not args.refresh_cache:
+        data = np.load(cache, allow_pickle=True)
+        g_feats = data['features']
+        cached_paths = list(data['paths'])
+        if cached_paths != gallery_paths:
+            logger.info('gallery changed; re-embedding')
+            g_feats = None
+    else:
+        g_feats = None
+    if g_feats is None:
+        g_feats = embed(cfg, model, params, state, gallery_paths, mesh)
+        np.savez(cache, features=g_feats, paths=np.array(gallery_paths))
+        logger.info('cached %d gallery embeddings to %s', len(gallery_paths),
+                    cache)
+
+    q_feats = embed(cfg, model, params, state, list(args.query), mesh)
+    k = min(args.topk, len(gallery_paths))
+    dists, idxs = streaming_topk(q_feats, g_feats, k=k)
+    dists, idxs = np.asarray(dists), np.asarray(idxs)
+
+    for qi, qpath in enumerate(args.query):
+        print('query: {}'.format(qpath))
+        for rank in range(k):
+            print('  #{:<3d} d={:.4f}  {}'.format(
+                rank + 1, dists[qi, rank], gallery_paths[idxs[qi, rank]]))
+
+    if args.vis:
+        from pps_tpu.evaluation.visualize import visualize_rank_lists
+        # visualize with dummy ids (no ground truth at serving time): mark
+        # everything as a non-match (red frames) but keep the ranking
+        dist_rows = np.full((len(args.query), len(gallery_paths)), np.inf,
+                            np.float32)
+        for qi in range(len(args.query)):
+            dist_rows[qi, idxs[qi]] = dists[qi]
+        visualize_rank_lists(
+            dist_rows,
+            np.arange(1, len(args.query) + 1),
+            -np.ones(len(gallery_paths), np.int64),
+            np.zeros(len(args.query), np.int64),
+            np.ones(len(gallery_paths), np.int64),
+            list(args.query), gallery_paths, args.vis, topk=k,
+            skip_no_match=False)
+
+
+if __name__ == '__main__':
+    main()
