@@ -195,3 +195,23 @@ def test_from_cuhk03_mat(tmp_path):
         import glob as g
         files = g.glob(os.path.join(save, t, 'images', '00000000_0000_*'))
         assert len(files) == 4
+
+
+def test_cache_url_passthrough_and_md5(tmp_path):
+    from pps_tpu.utils.io import cache_url
+    # non-URL passes through untouched
+    assert cache_url('/some/local/path.pkl', str(tmp_path)) == \
+        '/some/local/path.pkl'
+    # cached file with md5 verification (seed the cache by hand — no
+    # network egress in this environment)
+    import hashlib
+    payload = b'weights!'
+    cached = tmp_path / 'cache' / 'example.com' / 'm.pkl'
+    cached.parent.mkdir(parents=True)
+    cached.write_bytes(payload)
+    got = cache_url('https://example.com/m.pkl', str(tmp_path / 'cache'),
+                    expected_md5=hashlib.md5(payload).hexdigest())
+    assert got == str(cached)
+    with pytest.raises(AssertionError):
+        cache_url('https://example.com/m.pkl', str(tmp_path / 'cache'),
+                  expected_md5='0' * 32)
