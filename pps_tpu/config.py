@@ -111,6 +111,7 @@ __C.FPN = AttrDict()
 __C.FPN.FPN_ON = False
 __C.FPN.DIM = 256
 __C.FPN.ZERO_INIT_LATERAL = False
+__C.FPN.USE_GN = False
 __C.FPN.COARSEST_STRIDE = 32
 __C.FPN.MULTILEVEL_ROIS = False
 

@@ -43,6 +43,11 @@ def fpn_spec(cfg, depth=50):
     stages = ['res5', 'res4', 'res3', 'res2'][:fpn_num]
     scales = [1. / 16., 1. / 16., 1. / 8., 1. / 4.][:fpn_num]
     blobs = ['{}_{}_sum'.format(s, _LAST_BLOCK[depth][s]) for s in stages]
+    use_gn = bool(cfg.FPN.USE_GN)
+    gn_groups = 0
+    if use_gn:
+        from pps_tpu.models.heads import _get_group_gn
+        gn_groups = _get_group_gn(cfg, cfg.FPN.DIM)
     return {
         'fpn_dim': cfg.FPN.DIM,
         'stages': stages,
@@ -51,6 +56,10 @@ def fpn_spec(cfg, depth=50):
         'spatial_scales': scales,
         'fpn_num': fpn_num,
         'zero_init_lateral': cfg.FPN.ZERO_INIT_LATERAL,
+        # ConvGN laterals (reference FPN_reid.py USE_GN branches)
+        'use_gn': use_gn,
+        'gn_groups': gn_groups,
+        'gn_eps': cfg.GROUP_NORM.EPSILON,
     }
 
 
@@ -62,13 +71,18 @@ def _xavier_conv(rng, c_in, c_out, zero=False):
     return jax.random.uniform(rng, (c_in, c_out), jnp.float32, -lim, lim)
 
 
-def _add_conv_bn(rngs, params, state, name, c_in, c_out, zero=False):
+def _add_conv_bn(rngs, params, state, name, c_in, c_out, zero=False,
+                 use_gn=False):
     params[name + '_w'] = _xavier_conv(next(rngs), c_in, c_out, zero=zero)
     params[name + '_b'] = jnp.zeros((c_out,), jnp.float32)
-    params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
-    params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
-    state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
-    state[name + '_bn_riv'] = jnp.ones((c_out,), jnp.float32)
+    if use_gn:  # C2 ConvGN naming: {name}_gn_s/_b, no running stats
+        params[name + '_gn_s'] = jnp.ones((c_out,), jnp.float32)
+        params[name + '_gn_b'] = jnp.zeros((c_out,), jnp.float32)
+    else:
+        params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
+        params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
+        state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
+        state[name + '_bn_riv'] = jnp.ones((c_out,), jnp.float32)
 
 
 def init_fpn_params(rng, spec):
@@ -82,28 +96,40 @@ def init_fpn_params(rng, spec):
     dim = spec['fpn_dim']
     # coarsest 1x1 (dims[0]=2048 != fpn_dim always)
     _add_conv_bn(rngs, params, state, 'fpn_inner_' + spec['blobs'][0],
-                 spec['dims'][0], dim)
+                 spec['dims'][0], dim, use_gn=spec.get('use_gn', False))
     for i in range(1, spec['fpn_num']):
         if spec['dims'][i] != dim:
             _add_conv_bn(rngs, params, state,
                          'fpn_inner_' + spec['blobs'][i] + '_lateral',
                          spec['dims'][i], dim,
-                         zero=spec['zero_init_lateral'])
+                         zero=spec['zero_init_lateral'],
+                         use_gn=spec.get('use_gn', False))
     return params, state
 
 
-def _conv1x1_bn_relu(params, state, updates, name, x, train):
+def _conv1x1_bn_relu(params, state, updates, name, x, train, spec=None):
     from pps_tpu.models.resnet import batch_norm
     w = params[name + '_w']
     y = jnp.einsum('bhwc,cd->bhwd', x.astype(jnp.float32), w,
                    preferred_element_type=jnp.float32)
     y = y + params[name + '_b']
-    y, upd = batch_norm(
-        y, {'_s': params[name + '_bn_s'], '_b': params[name + '_bn_b']},
-        {'_rm': state[name + '_bn_rm'], '_riv': state[name + '_bn_riv']},
-        '', train)
-    for k, v in upd.items():
-        updates[name + '_bn' + k] = v
+    if spec is not None and spec.get('use_gn'):
+        b, h, wd, c = y.shape
+        g = spec['gn_groups']
+        yg = y.reshape(b, h, wd, g, c // g)
+        mean = jnp.mean(yg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(yg - mean), axis=(1, 2, 4), keepdims=True)
+        yg = (yg - mean) * jax.lax.rsqrt(var + spec['gn_eps'])
+        y = yg.reshape(b, h, wd, c)
+        y = y * params[name + '_gn_s'] + params[name + '_gn_b']
+    else:
+        y, upd = batch_norm(
+            y, {'_s': params[name + '_bn_s'], '_b': params[name + '_bn_b']},
+            {'_rm': state[name + '_bn_rm'],
+             '_riv': state[name + '_bn_riv']},
+            '', train)
+        for k, v in upd.items():
+            updates[name + '_bn' + k] = v
     return jax.nn.relu(y)
 
 
@@ -124,14 +150,15 @@ def apply_fpn(params, state, stage_feats, spec, train=False):
     dim = spec['fpn_dim']
     out = [_conv1x1_bn_relu(params, state, updates,
                             'fpn_inner_' + spec['blobs'][0],
-                            stage_feats[spec['stages'][0]], train)]
+                            stage_feats[spec['stages'][0]], train,
+                            spec=spec)]
     for i in range(1, spec['fpn_num']):
         lateral_in = stage_feats[spec['stages'][i]]
         if spec['dims'][i] != dim:
             lat = _conv1x1_bn_relu(
                 params, state, updates,
                 'fpn_inner_' + spec['blobs'][i] + '_lateral',
-                lateral_in, train)
+                lateral_in, train, spec=spec)
         else:
             lat = lateral_in.astype(jnp.float32)
         td = out[i - 1]

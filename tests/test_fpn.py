@@ -108,3 +108,22 @@ def test_fpn_train_and_test_paths():
     assert float(jnp.max(jnp.abs(
         grads['fpn_inner_res5_2_sum_w']))) > 0
     assert float(jnp.max(jnp.abs(grads['conv1_w']))) > 0
+
+
+def test_fpn_gn_laterals():
+    """FPN.USE_GN replaces lateral BN with GroupNorm (reference FPN_reid
+    ConvGN branches)."""
+    c = _fpn_cfg(fpn_num=3)
+    c.FPN.USE_GN = True
+    c.GROUP_NORM.NUM_GROUPS = 8
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert 'fpn_inner_res5_2_sum_gn_s' in params
+    assert 'fpn_inner_res5_2_sum_bn_s' not in params
+    assert not any(k.startswith('fpn') and k.endswith('_rm') for k in state)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 192, 64, 3),
+                    jnp.float32)
+    emb = model.extract_features(params, state, x)
+    assert emb.shape == (2, model.embedding_dim)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(emb, axis=1)), 1.0, rtol=1e-5)
