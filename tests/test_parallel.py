@@ -196,3 +196,21 @@ def test_triplet_loss_scale_factor():
     key = [k for k in logs1 if k.endswith('_triplet_loss')][0]
     assert float(logs0[key]) == 0.0
     assert float(logs1[key]) > 0.0
+
+
+def test_flip_tta_equals_manual_average():
+    c = _tiny_cfg(triplet=False)
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = np.random.RandomState(3).randn(4, 96, 32, 3).astype(np.float32)
+    mesh = mesh_lib.build_mesh(c, mesh_shape=(1, 1))
+    fn = make_extract_fn(model, mesh, flip_tta=True)
+    with mesh:
+        got = np.asarray(fn(params, state, images))
+    a = np.asarray(model.extract_features(params, state,
+                                          jnp.asarray(images)))
+    b = np.asarray(model.extract_features(
+        params, state, jnp.asarray(images[:, :, ::-1, :])))
+    want = (a + b) * 0.5
+    want /= np.maximum(np.linalg.norm(want, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -162,3 +162,23 @@ def test_resume_from_epoch(tiny_train_cfg, tmp_path):
     ckpts = train_model(c, output_dir=out_dir, decode_fn=decode,
                         num_workers=1)
     assert os.path.exists(ckpts['final'])
+
+
+def test_train_bitwise_deterministic(tiny_train_cfg, tmp_path):
+    """Two runs with the same seed produce bitwise-identical checkpoints
+    (pure schedule + per-batch augmentation rng + deterministic jit)."""
+    c = tiny_train_cfg
+    c.SOLVER.MAX_ITER = 1
+    decode = _class_decoder(N_IDS)
+
+    def run(out):
+        ck = train_model(c, output_dir=str(tmp_path / out),
+                         decode_fn=decode, num_workers=3)
+        from pps_tpu.utils.io import load_object
+        return load_object(ck['final'])['blobs']
+
+    b1 = run('d1')
+    b2 = run('d2')
+    assert sorted(b1) == sorted(b2)
+    for k in b1:
+        np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
