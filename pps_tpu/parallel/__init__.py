@@ -9,5 +9,6 @@ the ICI collectives that the reference hand-built as muji/NCCL allreduce ops.
 
 from pps_tpu.parallel.mesh import (build_mesh, batch_sharding,
                                    replicated, param_shardings)
-from pps_tpu.parallel.train_step import make_train_step
+from pps_tpu.parallel.train_step import (make_train_step,
+                                         place_train_state, shard_batch)
 from pps_tpu.parallel.eval_step import make_extract_fn, extract_features

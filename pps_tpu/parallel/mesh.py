@@ -20,8 +20,6 @@ boundary needs no resharding of activations (output stays 'model'-sharded
 into the per-class softmax CE, which reduces over classes with one psum).
 """
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -84,21 +82,3 @@ def param_shardings(mesh, params):
         else:
             out[name] = NamedSharding(mesh, P())
     return out
-
-
-def tree_shardings(mesh, tree, params_rule=None):
-    """Map a pytree to replicated shardings, with an optional per-leaf-name
-    override dict for the top-level 'params'-shaped dicts."""
-    def lookup(name):
-        if params_rule and name in params_rule:
-            return params_rule[name]
-        return NamedSharding(mesh, P())
-    if isinstance(tree, dict):
-        return {k: tree_shardings(mesh, v, params_rule)
-                if isinstance(v, dict) else lookup(k)
-                for k, v in tree.items()}
-    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
-
-
-def pad_to_multiple(n, m):
-    return int(math.ceil(n / m) * m)
