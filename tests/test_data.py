@@ -238,3 +238,26 @@ def test_loader_batches_deterministic_across_worker_counts(tmp_path):
     assert len(b1) == len(b3) > 0
     for a, b in zip(b1, b3):
         np.testing.assert_array_equal(a, b)
+
+
+def test_num_gpus_scales_global_batch(tmp_path):
+    """Reference semantics: IMS_PER_BATCH and P are per-device; the global
+    batch and P-class count scale with NUM_GPUS (reference
+    loader.py:135-142, optimizer.py per-GPU P x K batches)."""
+    imdir, ann_fn = _write_coco(tmp_path, n_ids=12, per_id=4)
+    catalog.register_dataset('toy_ng', imdir, ann_fn)
+    merge_cfg_from_list([
+        'MODEL.NUM_CLASSES', '13', 'NUM_GPUS', '2',
+        'TRAIN.IMS_PER_BATCH', '8', 'REID.SCALE', '(16, 48)',
+        'REID.TRIPLET_LOSS', 'True', 'REID.TRIPLET_LOSS_CROSS', 'False',
+        'REID.P', '4', 'REID.K', '2', 'SOLVER.MAX_ITER', '2'])
+    roidb, _ = combined_roidb_for_training('toy_ng')
+    loader = ReIDLoader(roidb, cfg, num_workers=1, decode_fn=_fake_decode)
+    assert loader.schedule.global_batch == 16
+    for i, scale, batch in loader.iter_epoch(0):
+        assert batch['data'].shape[0] == 16
+        lab = batch['labels_int32']
+        uniq, counts = np.unique(lab, return_counts=True)
+        assert len(uniq) == 8          # P * NUM_GPUS classes
+        assert (counts == 2).all()     # K each
+        break
