@@ -208,6 +208,10 @@ __C.TPU.MESH_SHAPE = (-1, 1)
 __C.TPU.NUM_DEVICES = -1
 # Donate input buffers in the jitted train step.
 __C.TPU.DONATE = True
+# Run eval preprocessing (cast / mean-subtract / cv2-exact bicubic resize)
+# on device when all test images share one size: uint8 H2D (4x less tunnel
+# traffic) + MXU resize (data/device_preprocess.py).
+__C.TPU.DEVICE_PREPROC = True
 # Rematerialize the conv body in the backward pass (jax.checkpoint): trades
 # ~2x backbone forward FLOPs for not storing its activations — the memonger
 # analog (reference utils/train.py:196-207) for large-batch training.

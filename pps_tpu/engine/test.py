@@ -51,9 +51,21 @@ def preprocess_images(roidb, cfg, decode_fn=None, num_workers=8):
     return out
 
 
+def decode_uint8_stack(roidb, decode_fn=None, num_workers=8):
+    """Decode the whole set to one uint8 stack, or None when image sizes
+    differ (the device-preproc fast path needs a static input shape)."""
+    from concurrent.futures import ThreadPoolExecutor
+    decode_fn = decode_fn or transforms.decode_image
+    with ThreadPoolExecutor(max(1, num_workers)) as pool:
+        ims = list(pool.map(lambda e: decode_fn(e['image']), roidb))
+    if not ims or any(im.shape != ims[0].shape for im in ims):
+        return None
+    return np.stack(ims)
+
+
 def extract_dataset_features(cfg, model, params, state, roidb,
                              decode_fn=None, batch_size=None,
-                             flip_tta=None, mesh=None):
+                             flip_tta=None, mesh=None, device_preproc=None):
     if mesh is None:
         mesh = mesh_lib.build_mesh(cfg)
     n_dev = int(np.prod(list(mesh.shape.values())))
@@ -64,10 +76,24 @@ def extract_dataset_features(cfg, model, params, state, roidb,
     batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
     if flip_tta is None:
         flip_tta = bool(cfg.TEST.BBOX_AUG.ENABLED and cfg.TEST.BBOX_AUG.H_FLIP)
-    extract_fn = make_extract_fn(model, mesh, flip_tta=flip_tta)
+    if device_preproc is None:
+        device_preproc = cfg.TPU.DEVICE_PREPROC
+
     timer = Timer()
     timer.tic()
-    images = preprocess_images(roidb, cfg, decode_fn=decode_fn)
+    images = None
+    preproc = None
+    if device_preproc:
+        images = decode_uint8_stack(roidb, decode_fn=decode_fn)
+        if images is not None:
+            w, h = cfg.REID.SCALE
+            preproc = (np.asarray(cfg.PIXEL_MEANS), (h, w))
+        else:
+            logger.info('mixed image sizes; host preprocessing path')
+    if images is None:
+        images = preprocess_images(roidb, cfg, decode_fn=decode_fn)
+    extract_fn = make_extract_fn(model, mesh, flip_tta=flip_tta,
+                                 device_preproc=preproc)
     t_prep = timer.toc(average=False)
     timer.tic()
     with mesh:

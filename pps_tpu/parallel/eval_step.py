@@ -15,13 +15,21 @@ import numpy as np
 from pps_tpu.parallel import mesh as mesh_lib
 
 
-def make_extract_fn(model, mesh, flip_tta=False):
+def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None):
     """jitted (params, state, images[B,H,W,3]) -> [B, E] embeddings.
 
     flip_tta: average features of the image and its horizontal flip
     (the TEST.BBOX_AUG.H_FLIP analog, reference core/test.py:220-339).
+    device_preproc: optional (pixel_means, out_hw); when set, images are
+    raw uint8 decodes and the cast / mean-subtract / cv2-exact bicubic
+    resize run fused on device (data/device_preprocess.py) — 4x less H2D
+    traffic and no host resize.
     """
     def extract(params, state, images):
+        if device_preproc is not None:
+            from pps_tpu.data.device_preprocess import preprocess_on_device
+            means, out_hw = device_preproc
+            images = preprocess_on_device(images, means, out_hw)
         feats = model.extract_features(params, state, images)
         if flip_tta:
             feats_f = model.extract_features(params, state,
