@@ -30,7 +30,10 @@ class TrainingStats(object):
         self.smoothed_losses_and_metrics = {}
         self.smoothed_total_loss = SmoothedValue(self.WIN_SZ)
         self._pending = []
-        self.iter_total_loss = np.nan
+        # None until the first drain: the NaN abort must not trigger on
+        # the initial value (a resumed run's step counter can reach the
+        # check period before the first emitted log line)
+        self.iter_total_loss = None
 
     def IterTic(self):
         self.iter_timer.tic()
@@ -58,6 +61,10 @@ class TrainingStats(object):
             self.iter_total_loss = host.get('loss', np.nan)
             self.smoothed_total_loss.AddValue(self.iter_total_loss)
         self._pending = []
+
+    def loss_is_nan(self):
+        return (self.iter_total_loss is not None
+                and np.isnan(self.iter_total_loss))
 
     def LogIterStats(self, cur_iter, lr, extra=None, force=False):
         if (force or cur_iter % self.LOG_PERIOD == 0

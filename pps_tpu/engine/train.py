@@ -155,8 +155,7 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                 stats.LogIterStats(global_step, lr, extra={'epoch': ep},
                                    force=(i == sched.epoch_len(ep) - 1))
                 global_step += 1
-                if global_step % stats.LOG_PERIOD == 0 and np.isnan(
-                        stats.iter_total_loss):
+                if stats.loss_is_nan():
                     loader._stop.set()
                     raise FloatingPointError('Loss is NaN')
 

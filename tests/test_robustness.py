@@ -86,3 +86,19 @@ def test_multi_query_pooling():
     assert 'multi' in res
     assert res['multi']['mAP'] > 0.5
     assert 0.0 <= res['multi']['cmc1'] <= 1.0
+
+
+def test_nan_check_ignores_undrained_stats():
+    """A resumed run reaches the NaN check before the first log drain;
+    the initial sentinel must not abort training (regression: real-TPU
+    resume aborted with a false 'Loss is NaN')."""
+    from pps_tpu.engine.stats import TrainingStats
+    s = TrainingStats(1000, log_period=40)
+    assert not s.loss_is_nan()          # nothing drained yet
+    import jax.numpy as jnp
+    s.UpdateIterStats({'loss': jnp.float32(1.5)})
+    s.LogIterStats(40, 0.01)            # drains
+    assert not s.loss_is_nan()
+    s.UpdateIterStats({'loss': jnp.float32(float('nan'))})
+    s.LogIterStats(80, 0.01)
+    assert s.loss_is_nan()
