@@ -208,6 +208,10 @@ __C.TPU.MESH_SHAPE = (-1, 1)
 __C.TPU.NUM_DEVICES = -1
 # Donate input buffers in the jitted train step.
 __C.TPU.DONATE = True
+# Wire dtype for training image batches ('float32' parity default;
+# 'bfloat16' halves host->device traffic at ~0.5 pixel-LSB precision cost —
+# the conv body computes in bf16 anyway when MODEL.DTYPE is bfloat16).
+__C.TPU.WIRE_DTYPE = 'float32'
 # Run eval preprocessing (cast / mean-subtract / cv2-exact bicubic resize)
 # on device when all test images share one size: uint8 H2D (4x less tunnel
 # traffic) + MXU resize (data/device_preprocess.py).

@@ -83,6 +83,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     step_fn = ts_lib.make_train_step(model, cfg, mesh, meta=meta)
 
     def device_put_fn(batch):
+        if cfg.TPU.WIRE_DTYPE == 'bfloat16':
+            batch = dict(batch, data=jnp.bfloat16(batch['data']))
         return ts_lib.shard_batch(mesh, batch)
 
     loader = ReIDLoader(roidb, cfg, num_workers=num_workers,

@@ -102,6 +102,9 @@ class ReIDModel:
         """Returns (features [B', R, D], logits [B', R, K], updates) where
         B' = B, or B * FPN_NUM under shared FPN training (level-major batch
         concat, reference pps_heads.py:119-142)."""
+        # accept reduced-precision wire formats (TPU.WIRE_DTYPE): params
+        # and BN math stay f32; the conv body re-casts per MODEL.DTYPE
+        images = images.astype(jnp.float32)
         remat = train and self.cfg.TPU.REMAT
         if self.fpn_spec is None:
             body = lambda p, s, im: resnet_lib.apply_resnet(

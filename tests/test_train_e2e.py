@@ -182,3 +182,15 @@ def test_train_bitwise_deterministic(tiny_train_cfg, tmp_path):
     assert sorted(b1) == sorted(b2)
     for k in b1:
         np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+
+def test_bf16_wire_dtype(tiny_train_cfg, tmp_path):
+    """TPU.WIRE_DTYPE=bfloat16 trains to a sane loss (transfer-precision
+    option; not bit-parity with the f32 wire)."""
+    c = tiny_train_cfg
+    c.SOLVER.MAX_ITER = 1
+    c.TPU.WIRE_DTYPE = 'bfloat16'
+    decode = _class_decoder(N_IDS)
+    out = str(tmp_path / 'bf16wire')
+    ck = train_model(c, output_dir=out, decode_fn=decode, num_workers=1)
+    assert os.path.exists(ck['final'])
