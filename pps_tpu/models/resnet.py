@@ -69,8 +69,27 @@ def resnet_spec(cfg, depth=50):
         'dim_out': 2048,
         'freeze_at': cfg.TRAIN.FREEZE_AT,
         'dtype': cfg.MODEL.DTYPE,
+        # GroupNorm body (MODEL.USE_GN; reference ResNet.py:223-238,340-395
+        # + utils/net.py:291-305 get_group_gn)
+        'use_gn': bool(cfg.MODEL.USE_GN),
+        'gn_dim_per_gp': cfg.GROUP_NORM.DIM_PER_GP,
+        'gn_num_groups': cfg.GROUP_NORM.NUM_GROUPS,
+        'gn_eps': cfg.GROUP_NORM.EPSILON,
     }
     return spec
+
+
+def _gn_groups(spec, dim):
+    """get_group_gn (reference utils/net.py:291-305)."""
+    dim_per_gp = spec['gn_dim_per_gp']
+    num_groups = spec['gn_num_groups']
+    assert dim_per_gp == -1 or num_groups == -1, \
+        'GroupNorm: can only specify G or C/G.'
+    if dim_per_gp > 0:
+        assert dim % dim_per_gp == 0
+        return dim // dim_per_gp
+    assert dim % num_groups == 0
+    return num_groups
 
 
 # ---------------------------------------------------------------------------
@@ -86,8 +105,13 @@ def _msra_fill(rng, shape):
     return jax.random.normal(rng, shape, dtype=jnp.float32) * std
 
 
-def _init_conv_bn(rngs, params, state, name, kh, kw, c_in, c_out):
+def _init_conv_bn(rngs, params, state, name, kh, kw, c_in, c_out,
+                  use_gn=False):
     params[name + '_w'] = _msra_fill(next(rngs), (kh, kw, c_in, c_out))
+    if use_gn:  # ConvGN: no running stats (reference detector.py:449-489)
+        params[name + '_gn_s'] = jnp.ones((c_out,), jnp.float32)
+        params[name + '_gn_b'] = jnp.zeros((c_out,), jnp.float32)
+        return
     params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
     params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
     state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
@@ -102,13 +126,19 @@ def init_resnet_params(rng, spec):
             yield sub
 
     rngs = rng_iter(rng)
+    use_gn = spec.get('use_gn', False)
     params, state = {}, {}
     # stem: conv1 7x7/2 + bn (named res_conv1_bn; reference ResNet.py:246-251)
+    # GN stem names its norm conv1_gn (reference ResNet.py:258-268)
     params['conv1_w'] = _msra_fill(next(rngs), (7, 7, 3, 64))
-    params['res_conv1_bn_s'] = jnp.ones((64,), jnp.float32)
-    params['res_conv1_bn_b'] = jnp.zeros((64,), jnp.float32)
-    state['res_conv1_bn_rm'] = jnp.zeros((64,), jnp.float32)
-    state['res_conv1_bn_riv'] = jnp.ones((64,), jnp.float32)
+    if use_gn:
+        params['conv1_gn_s'] = jnp.ones((64,), jnp.float32)
+        params['conv1_gn_b'] = jnp.zeros((64,), jnp.float32)
+    else:
+        params['res_conv1_bn_s'] = jnp.ones((64,), jnp.float32)
+        params['res_conv1_bn_b'] = jnp.zeros((64,), jnp.float32)
+        state['res_conv1_bn_rm'] = jnp.zeros((64,), jnp.float32)
+        state['res_conv1_bn_riv'] = jnp.ones((64,), jnp.float32)
 
     dim_in = 64
     for (stage, n_blocks, dim_out, dim_inner, _stride, _dil) in spec['stages']:
@@ -116,13 +146,14 @@ def init_resnet_params(rng, spec):
             prefix = '{}_{}'.format(stage, i)
             if i == 0 and dim_in != dim_out:
                 _init_conv_bn(rngs, params, state, prefix + '_branch1',
-                              1, 1, dim_in, dim_out)
+                              1, 1, dim_in, dim_out, use_gn=use_gn)
             _init_conv_bn(rngs, params, state, prefix + '_branch2a',
-                          1, 1, dim_in, dim_inner)
+                          1, 1, dim_in, dim_inner, use_gn=use_gn)
             _init_conv_bn(rngs, params, state, prefix + '_branch2b',
-                          3, 3, dim_inner // spec['num_groups'], dim_inner)
+                          3, 3, dim_inner // spec['num_groups'], dim_inner,
+                          use_gn=use_gn)
             _init_conv_bn(rngs, params, state, prefix + '_branch2c',
-                          1, 1, dim_inner, dim_out)
+                          1, 1, dim_inner, dim_out, use_gn=use_gn)
             dim_in = dim_out
     return params, state
 
@@ -180,10 +211,25 @@ def batch_norm(x, params, state, name, train, stats_axes=(0, 1, 2)):
     return y.astype(x.dtype), updates
 
 
+def group_norm(x, s, b, groups, eps=1e-5):
+    """GroupNorm over an NHWC map (reference SpatialGN via ConvGN,
+    detector.py:449-489); stats in f32, no running state."""
+    n, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(n, h, w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(n, h, w, c) * s + b
+    return y.astype(x.dtype)
+
+
 def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
-             dtype=None, groups=1):
+             dtype=None, groups=1, spec=None):
     y = conv2d(x, params[name + '_w'], stride=stride, dilation=dilation,
                dtype=dtype, groups=groups)
+    if spec is not None and spec.get('use_gn'):
+        return group_norm(y, params[name + '_gn_s'], params[name + '_gn_b'],
+                          _gn_groups(spec, y.shape[-1]), spec['gn_eps'])
     if not train and (name + '_fb') in params:
         # BN pre-folded into the conv (models/folding.py): add bias only
         return y + params[name + '_fb'].astype(y.dtype)
@@ -198,24 +244,24 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
 
 
 def bottleneck_block(x, params, state, updates, prefix, stride, dilation,
-                     stride_1x1, train, dtype=None, groups=1):
+                     stride_1x1, train, dtype=None, groups=1, spec=None):
     """1x1 -> 3x3 -> 1x1 bottleneck (reference ResNet.py:276-343)."""
     str1, str3 = (stride, 1) if stride_1x1 else (1, stride)
 
     shortcut = x
     if (prefix + '_branch1_w') in params:
         shortcut = _conv_bn(x, params, state, updates, prefix + '_branch1',
-                            train, stride=stride, dtype=dtype)
+                            train, stride=stride, dtype=dtype, spec=spec)
 
     cur = _conv_bn(x, params, state, updates, prefix + '_branch2a', train,
-                   stride=str1, dtype=dtype)
+                   stride=str1, dtype=dtype, spec=spec)
     cur = jax.nn.relu(cur)
     cur = _conv_bn(cur, params, state, updates, prefix + '_branch2b', train,
                    stride=str3, dilation=dilation, dtype=dtype,
-                   groups=groups)
+                   groups=groups, spec=spec)
     cur = jax.nn.relu(cur)
     cur = _conv_bn(cur, params, state, updates, prefix + '_branch2c', train,
-                   stride=1, dtype=dtype)
+                   stride=1, dtype=dtype, spec=spec)
     return jax.nn.relu(cur + shortcut)
 
 
@@ -247,7 +293,10 @@ def apply_resnet(params, state, x, spec, train=False,
         spec.get('dtype', 'float32')]
     updates = {}
     cur = conv2d(x, params['conv1_w'], stride=2, dtype=dtype)
-    if not train and 'conv1_fb' in params:
+    if spec.get('use_gn'):
+        cur = group_norm(cur, params['conv1_gn_s'], params['conv1_gn_b'],
+                         _gn_groups(spec, 64), spec['gn_eps'])
+    elif not train and 'conv1_fb' in params:
         cur = cur + params['conv1_fb'].astype(cur.dtype)
     else:
         cur, upd = batch_norm(
@@ -275,7 +324,7 @@ def apply_resnet(params, state, x, spec, train=False,
                 dilation=dilation,
                 stride_1x1=spec['stride_1x1'],
                 train=train, dtype=dtype,
-                groups=spec['num_groups'])
+                groups=spec['num_groups'], spec=spec)
         stages[stage] = cur
         # reference freezes by StopGradient at stage boundaries
         # (FREEZE_AT semantics, reference ResNet.py:100-108)

@@ -51,7 +51,14 @@ def make_param_meta(params, cfg):
     for name in params:
         lr_scale, is_bias = classify_param(
             name, cfg.SOLVER.LR_SCALE_NEW_PARAM, cfg.SOLVER.LR_SCALE_NEW_FC)
-        wd = 0.0 if is_bias else cfg.SOLVER.WEIGHT_DECAY
+        if is_bias:
+            wd = 0.0
+        elif name.endswith('_gn_s'):
+            # GroupNorm scales use SOLVER.WEIGHT_DECAY_GN (reference
+            # optimizer.py:125-127; GN biases hit the bias branch first)
+            wd = cfg.SOLVER.WEIGHT_DECAY_GN
+        else:
+            wd = cfg.SOLVER.WEIGHT_DECAY
         meta[name] = (lr_scale, is_bias, wd)
     return meta
 

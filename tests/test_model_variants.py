@@ -78,3 +78,30 @@ def test_reference_configs_also_parse():
     model = build_model(cfg)
     assert model.embedding_dim == 3968
     assert cfg.REID.P == 8 and cfg.REID.K == 8
+
+
+def test_gn_body_builds_and_extracts():
+    """MODEL.USE_GN end-to-end: GroupNorm body (reference
+    ResNet.py:223-268,340-395) + GN head; no BN state anywhere."""
+    c = _small('pps_heads.add_pps_part_head', 3, 8,
+               extra=['MODEL.USE_GN', 'True', 'MODEL.USE_BN', 'False',
+                      'GROUP_NORM.NUM_GROUPS', '4',
+                      'REID.MAX_AVE_FEATURE', 'True'])
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert 'conv1_gn_s' in params
+    assert 'res2_0_branch2a_gn_s' in params
+    assert not any('_bn_' in k for k in params)
+    assert not any(k.endswith('_bn_rm') for k in state)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 32, 3),
+                    jnp.float32)
+    emb = model.extract_features(params, state, x)
+    assert emb.shape == (2, model.embedding_dim)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(emb, axis=1)),
+                               1.0, rtol=1e-5)
+    # GN is train/eval-identical: the train forward must agree with eval
+    batch = {'data': x, 'labels_int32': np.zeros(2, np.int32),
+             'labels_oh': np.zeros((2, 6), np.float32)}
+    out = model.train_forward(params, state, batch, jax.random.PRNGKey(1),
+                              1.0)
+    assert np.isfinite(float(out[0]))

@@ -136,3 +136,48 @@ def test_correct_momentum():
     np.testing.assert_allclose(np.asarray(o2['momentum']['res2_b']),
                                np.asarray(o1['momentum']['res2_b']) * 0.5)
     assert opt_lib.get_lr_change_ratio(0.1, 0.05) == pytest.approx(2.0)
+
+
+def test_warmup_trajectory_matches_reference_formula():
+    """Full LR sequence fixture for the reference's subtlest schedule quirk:
+    warm-up GATES on epoch (`ep < WARM_UP_ITERS`) but the linear alpha is
+    indexed by raw ITERATION (reference utils/lr_policy.py:28-43, called as
+    get_lr_at_iter(cur_iter, cur_ep, num_iter_per_epoch) from
+    utils/train.py:84)."""
+    merge_cfg_from_list([
+        'SOLVER.LR_POLICY', 'steps_with_decay',
+        'SOLVER.BASE_LR', '0.02', 'SOLVER.GAMMA', '0.5',
+        'SOLVER.STEPS', '[0, 2]', 'SOLVER.MAX_ITER', '3',
+        'SOLVER.WARM_UP_ITERS', '2', 'SOLVER.WARM_UP_METHOD', 'linear',
+        'SOLVER.WARM_UP_FACTOR', '0.25'])
+    ep_size = 4
+    got = [float(lr_policy.get_lr_at_iter(cfg, it, it // ep_size, ep_size))
+           for it in range(3 * ep_size)]
+
+    # the reference formula, written out independently
+    expected = []
+    for it in range(3 * ep_size):
+        ep = it // ep_size
+        base = 0.02 * 0.5 ** (1 if ep >= 2 else 0)  # steps at epoch {0, 2}
+        if ep < 2:  # epoch-gated warm-up window
+            alpha = it / (2 * ep_size)  # iteration-indexed alpha
+            base *= 0.25 * (1 - alpha) + alpha
+        expected.append(base)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # spot values: warmup spans ALL of epochs 0-1 and never reaches 1.0
+    # inside the window (alpha=1 only at it == 2*ep_size, already epoch 2)
+    np.testing.assert_allclose(got[0], 0.005, rtol=1e-6)
+    assert got[2 * ep_size - 1] < 0.02  # last warm-up iter still scaled
+    np.testing.assert_allclose(got[2 * ep_size], 0.01, rtol=1e-6)  # decayed
+
+
+def test_gn_scale_weight_decay_group():
+    merge_cfg_from_list(['SOLVER.WEIGHT_DECAY', '0.0005',
+                         'SOLVER.WEIGHT_DECAY_GN', '0.0'])
+    params = {'res2_0_branch2a_gn_s': jnp.ones(4),
+              'res2_0_branch2a_gn_b': jnp.zeros(4),
+              'res2_0_branch2a_w': jnp.ones((1, 1, 4, 4))}
+    meta = opt_lib.make_param_meta(params, cfg)
+    assert meta['res2_0_branch2a_gn_s'] == (1.0, False, 0.0)
+    assert meta['res2_0_branch2a_gn_b'] == (1.0, True, 0.0)
+    assert meta['res2_0_branch2a_w'] == (1.0, False, 0.0005)
