@@ -216,6 +216,15 @@ __C.TPU.WIRE_DTYPE = 'float32'
 # on device when all test images share one size: uint8 H2D (4x less tunnel
 # traffic) + MXU resize (data/device_preprocess.py).
 __C.TPU.DEVICE_PREPROC = True
+# Stream test-set extraction in O(prefetch x batch) host memory (decode ->
+# preprocess -> H2D -> extract pipelined per batch) instead of decoding the
+# whole dataset to one resident stack (engine/test.py:stream_extract).
+__C.TPU.STREAMING_EVAL = True
+# Run the single-query mAP/CMC computation on device (evaluation/
+# device_eval.py: distmat + metrics in one jit, ~913 ms at Market scale vs
+# minutes in the numpy per-query loops).  Multi-query and re-ranked
+# variants keep the numpy path (golden reference, cross-checked in tests).
+__C.TPU.DEVICE_EVAL = True
 # Rematerialize the conv body in the backward pass (jax.checkpoint): trades
 # ~2x backbone forward FLOPs for not storing its activations — the memonger
 # analog (reference utils/train.py:196-207) for large-batch training.

@@ -56,9 +56,12 @@ def cv2_bicubic_matrix(in_size, out_size):
 
 @functools.lru_cache(maxsize=64)
 def _matrices(in_hw, out_hw):
+    # cache numpy (NOT jnp): a jnp array created during a jit trace would be
+    # a tracer, and caching it across traces leaks it (UnexpectedTracerError
+    # when a second jitted caller hits the warm cache)
     rh = cv2_bicubic_matrix(in_hw[0], out_hw[0])
     rw = cv2_bicubic_matrix(in_hw[1], out_hw[1])
-    return jnp.asarray(rh), jnp.asarray(rw)
+    return rh, rw
 
 
 def resize_bicubic(x, out_hw):

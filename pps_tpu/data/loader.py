@@ -53,6 +53,7 @@ class ReIDLoader(object):
         self._workers = []
         self._stop = threading.Event()
         self._exc = []
+        self._last_qsize = 0
 
     # -- plan ---------------------------------------------------------------
     def skip_epochs(self, n):
@@ -137,6 +138,11 @@ class ReIDLoader(object):
                             from self._exc[0]
                 i, mode, scale, batch = self._slots[step]
                 self._slots[step] = None
+                # prepared-ahead depth: the BlobsQueue qsize analog
+                # (reference training_stats.py:81-83); 0 = consumer starved
+                self._last_qsize = sum(
+                    1 for s in self._slots[step + 1:issued]
+                    if s is not None)
                 if issued < len(plan):
                     self._plan_q.put((issued, plan[issued]))
                     issued += 1
@@ -154,6 +160,11 @@ class ReIDLoader(object):
                     break
             for w in workers:
                 w.join(timeout=2.0)
+
+    def qsize(self):
+        """Number of batches prepared ahead of the consumer at the last
+        yield (the reference's minibatch-queue depth gauge)."""
+        return self._last_qsize
 
     def _check_pk(self, labels):
         """Runtime P x K composition assert (reference train.py:88-96)."""

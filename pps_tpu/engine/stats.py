@@ -29,6 +29,8 @@ class TrainingStats(object):
         self.iter_timer = Timer()
         self.smoothed_losses_and_metrics = {}
         self.smoothed_total_loss = SmoothedValue(self.WIN_SZ)
+        # loader prepared-ahead depth (reference training_stats.py:54,81-83)
+        self.smoothed_mb_qsize = SmoothedValue(self.WIN_SZ)
         self._pending = []
         # None until the first drain: the NaN abort must not trigger on
         # the initial value (a resumed run's step counter can reach the
@@ -44,9 +46,13 @@ class TrainingStats(object):
     def ResetIterTimer(self):
         self.iter_timer.reset()
 
-    def UpdateIterStats(self, logs):
-        """logs: dict of scalar device arrays from the train step."""
+    def UpdateIterStats(self, logs, mb_qsize=None):
+        """logs: dict of scalar device arrays from the train step.
+        mb_qsize: loader prepared-ahead depth (host int, gauged now —
+        it describes this instant, unlike the lazily-drained device logs)."""
         self._pending.append(logs)
+        if mb_qsize is not None:
+            self.smoothed_mb_qsize.AddValue(mb_qsize)
 
     def _drain(self):
         for logs in self._pending:
@@ -86,6 +92,11 @@ class TrainingStats(object):
             eta=eta,
             loss=self.smoothed_total_loss.GetMedianValue(),
         )
+        if self.smoothed_mb_qsize.count:
+            # int-rounded average, the reference's mb_qsize contract
+            # (training_stats.py:107-108)
+            stats['mb_qsize'] = int(
+                np.round(self.smoothed_mb_qsize.GetAverageValue()))
         mem = device_mem_mb()
         if mem is not None:
             stats['mem'] = mem  # MB in use on device 0 (the reference

@@ -151,7 +151,7 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                     train_state, batch, jnp.float32(lr),
                     jnp.float32(loss_scale), step_rng)
                 stats.IterToc()
-                stats.UpdateIterStats(logs)
+                stats.UpdateIterStats(logs, mb_qsize=loader.qsize())
                 # force a line on the last step of each epoch so short
                 # triplet sub-epochs (4 steps at P8 on Market) always log
                 stats.LogIterStats(global_step, lr, extra={'epoch': ep},

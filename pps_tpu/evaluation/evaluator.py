@@ -43,7 +43,7 @@ def _metric_dict(m_ap, cmc_scores):
 
 
 def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
-             distmat_fn=None):
+             distmat_fn=None, device_single_query=False):
     """Compute mAP/CMC for single query, multi query and re-ranked variants.
 
     Args:
@@ -51,6 +51,9 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
       ids, cams, marks: [N] arrays.
       distmat_fn: optional callable (q, g) -> distmat to route the distance
         computation through the TPU kernels; defaults to numpy.
+      device_single_query: run the single-query block fully on device
+        (evaluation/device_eval.py — distmat + metrics in one jit); the
+        multi-query / re-ranked variants stay on the numpy golden path.
     Returns a dict of results.
     """
     feat = np.asarray(feat)
@@ -81,9 +84,16 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
 
     results = {}
 
-    q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
-    m_ap, cmc_scores = compute_score(q_g_dist, ids[q_inds], ids[g_inds],
-                                     cams[q_inds], cams[g_inds])
+    q_g_dist = None
+    if device_single_query:
+        from pps_tpu.evaluation.device_eval import evaluate_on_device
+        dev = evaluate_on_device(feat, ids, cams, marks,
+                                 distmat_fn=distmat_fn, topk=10)
+        m_ap, cmc_scores = dev['mAP'], dev['cmc']
+    else:
+        q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
+        m_ap, cmc_scores = compute_score(q_g_dist, ids[q_inds], ids[g_inds],
+                                         cams[q_inds], cams[g_inds])
     print_scores('Single Query:', m_ap, cmc_scores)
     results['single'] = _metric_dict(m_ap, cmc_scores)
 
@@ -107,6 +117,8 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
         results['multi'] = _metric_dict(mq_map, mq_cmc)
 
     if to_re_rank:
+        if q_g_dist is None:  # device path skipped the host distmat
+            q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
         q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
         g_g_dist = np.asarray(dist_fn(feat[g_inds], feat[g_inds]))
         rerank_fn = re_ranking

@@ -261,3 +261,31 @@ def test_num_gpus_scales_global_batch(tmp_path):
         assert len(uniq) == 8          # P * NUM_GPUS classes
         assert (counts == 2).all()     # K each
         break
+
+
+def test_loader_qsize_gauge():
+    """mb_qsize analog: prepared-ahead depth is gauged at each yield
+    (reference training_stats.py:81-83 logged BlobsQueue depth)."""
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '5',
+                         'TRAIN.IMS_PER_BATCH', '4',
+                         'REID.SCALE', '(16, 48)'])
+    roidb = [{'image': 'mem://%d' % i, 'gt_class': i % 4 + 1,
+              'flipped': False} for i in range(16)]
+    loader = ReIDLoader(roidb, cfg, num_workers=2, prefetch=3,
+                        decode_fn=_fake_decode)
+    depths = []
+    for _i, _scale, _batch in loader.iter_epoch(0):
+        depths.append(loader.qsize())
+    assert depths, 'epoch yielded no batches'
+    assert all(isinstance(d, int) and 0 <= d <= 3 for d in depths)
+
+
+def test_training_stats_mb_qsize_key():
+    from pps_tpu.engine.stats import TrainingStats
+    st = TrainingStats(max_iter=10, log_period=1)
+    st.IterTic(); st.IterToc()
+    st.UpdateIterStats({'loss': np.float32(1.0)}, mb_qsize=3)
+    st._drain()
+    s = st.GetStats(0, 0.01)
+    assert s['mb_qsize'] == 3
+    assert s['loss'] == 1.0

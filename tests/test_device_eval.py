@@ -78,3 +78,35 @@ def test_evaluate_on_device_end_to_end():
     np.testing.assert_allclose(res['mAP'], ref['single']['mAP'], rtol=1e-5)
     np.testing.assert_allclose(res['cmc'][0], ref['single']['cmc1'],
                                rtol=1e-6)
+
+
+def test_evaluate_device_single_query_flag():
+    """evaluator.evaluate(device_single_query=True) — the default TPU eval
+    path (engine/test.py) — matches the numpy path for all result blocks,
+    including re-ranked (which must recompute the host distmat the device
+    path skipped)."""
+    rng = np.random.RandomState(7)
+    n_ids = 6
+    centers = rng.randn(n_ids, 12) * 3
+    ids, cams, marks, feats = [], [], [], []
+    for pid in range(n_ids):
+        for j in range(8):
+            ids.append(pid)
+            cams.append(j % 3)
+            # 0=query, 1=gallery, 2=multi-query
+            marks.append(0 if j == 0 else (2 if j >= 6 else 1))
+            feats.append(centers[pid] + rng.randn(12) * 0.4)
+    feats = np.stack(feats).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    ids, cams, marks = map(np.array, (ids, cams, marks))
+
+    from pps_tpu.evaluation.evaluator import evaluate
+    ref = evaluate(feats, ids, cams, marks, to_re_rank=True)
+    dev = evaluate(feats, ids, cams, marks, to_re_rank=True,
+                   device_single_query=True)
+    for block in ('single', 'multi', 'single_rerank', 'multi_rerank'):
+        assert block in dev and block in ref
+        np.testing.assert_allclose(dev[block]['mAP'], ref[block]['mAP'],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(dev[block]['cmc1'], ref[block]['cmc1'],
+                                   rtol=1e-6)
