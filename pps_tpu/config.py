@@ -216,6 +216,13 @@ __C.TPU.WIRE_DTYPE = 'float32'
 # on device when all test images share one size: uint8 H2D (4x less tunnel
 # traffic) + MXU resize (data/device_preprocess.py).
 __C.TPU.DEVICE_PREPROC = True
+# Run the TRAINING augmentation chain on device (data/device_augment.py):
+# the loader ships raw uint8 decodes (~24x less wire traffic at Market
+# geometry) and flip/crop/hsv/blur/erasing/resize run fused inside the
+# jitted train step with a jax PRNG.  Batches with mixed decode sizes fall
+# back to the host chain automatically.  The host path (transforms.py)
+# remains the golden reference.
+__C.TPU.DEVICE_AUGMENT = True
 # Stream test-set extraction in O(prefetch x batch) host memory (decode ->
 # preprocess -> H2D -> extract pipelined per batch) instead of decoding the
 # whole dataset to one resident stack (engine/test.py:stream_extract).

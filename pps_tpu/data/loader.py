@@ -28,11 +28,12 @@ logger = logging.getLogger(__name__)
 
 class ReIDLoader(object):
     def __init__(self, roidb, cfg, num_workers=4, prefetch=4, seed=None,
-                 decode_fn=None, device_put_fn=None):
+                 decode_fn=None, device_put_fn=None, raw=False):
         self._roidb = roidb
         self._cfg = cfg
         self._decode_fn = decode_fn
         self._device_put_fn = device_put_fn
+        self._raw = raw  # uint8 wire for on-device augmentation
         self._prefetch = prefetch
         self._num_workers = num_workers
         seed = cfg.RNG_SEED if seed is None else seed
@@ -97,7 +98,7 @@ class ReIDLoader(object):
                 entries = [self._roidb[j] for j in idx]
                 batch = minibatch_lib.get_minibatch(
                     entries, self._cfg, rng, train=True,
-                    decode_fn=self._decode_fn)
+                    decode_fn=self._decode_fn, raw=self._raw)
                 self._slots[slot] = (i, mode, scale, batch)
             except Exception as e:  # propagate to consumer (coordinator.py)
                 logger.exception('loader worker failed')

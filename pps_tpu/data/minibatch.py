@@ -14,28 +14,42 @@ def get_minibatch_blob_names():
     return ['data', 'labels_int32', 'labels_oh']
 
 
-def get_minibatch(roidb_entries, cfg, rng, train=True, decode_fn=None):
+def get_minibatch(roidb_entries, cfg, rng, train=True, decode_fn=None,
+                  raw=False):
     """Decode + augment + resize a list of roidb entries.
 
     Returns {'data': [B,H,W,3] f32 BGR mean-subtracted,
              'labels_int32': [B] (identity-1),
              'labels_oh': [B, NUM_CLASSES-1] one-hot}.
+
+    raw=True (the TPU.DEVICE_AUGMENT wire): when every decode in the batch
+    shares one shape, ship {'data_u8': [B,h,w,3] uint8, 'flipped': [B]}
+    instead of 'data' — flip/augment/resize then run inside the jitted
+    train step (data/device_augment.py).  Mixed-size batches fall back to
+    the host chain below.
     """
     decode_fn = decode_fn or transforms.decode_image
     w, h = cfg.REID.SCALE
     num_classes = cfg.MODEL.NUM_CLASSES
     b = len(roidb_entries)
+    labels = np.asarray([e['gt_class'] - 1 for e in roidb_entries],
+                        np.int32)  # ids are 1-based, 0=background
+    oh = np.zeros((b, num_classes - 1), np.float32)
+    oh[np.arange(b), labels] = 1.0
+
+    ims = [decode_fn(entry['image']) for entry in roidb_entries]
+    if raw and train and all(im.shape == ims[0].shape for im in ims):
+        return {'data_u8': np.stack(ims),
+                'flipped': np.asarray(
+                    [bool(e.get('flipped')) for e in roidb_entries]),
+                'labels_int32': labels, 'labels_oh': oh}
+
     data = np.empty((b, h, w, 3), np.float32)
-    labels = np.empty((b,), np.int32)
     pixel_means = np.asarray(cfg.PIXEL_MEANS)
-    for i, entry in enumerate(roidb_entries):
-        im = decode_fn(entry['image'])
+    for i, (entry, im) in enumerate(zip(roidb_entries, ims)):
         if entry.get('flipped'):
             im = im[:, ::-1, :]
         if train:
             im = transforms.augment(im, rng, cfg)
         data[i] = transforms.prep_im_for_blob(im, pixel_means, (w, h))
-        labels[i] = entry['gt_class'] - 1  # ids are 1-based, 0=background
-    oh = np.zeros((b, num_classes - 1), np.float32)
-    oh[np.arange(b), labels] = 1.0
     return {'data': data, 'labels_int32': labels, 'labels_oh': oh}

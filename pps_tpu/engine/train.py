@@ -83,12 +83,13 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     step_fn = ts_lib.make_train_step(model, cfg, mesh, meta=meta)
 
     def device_put_fn(batch):
-        if cfg.TPU.WIRE_DTYPE == 'bfloat16':
+        if cfg.TPU.WIRE_DTYPE == 'bfloat16' and 'data' in batch:
             batch = dict(batch, data=jnp.bfloat16(batch['data']))
         return ts_lib.shard_batch(mesh, batch)
 
     loader = ReIDLoader(roidb, cfg, num_workers=num_workers,
-                        decode_fn=decode_fn, device_put_fn=device_put_fn)
+                        decode_fn=decode_fn, device_put_fn=device_put_fn,
+                        raw=bool(cfg.TPU.DEVICE_AUGMENT))
     if start_epoch > 0:
         loader.skip_epochs(start_epoch)  # resume sampling determinism
     sched = loader.schedule

@@ -41,11 +41,26 @@ def make_train_step(model, cfg, mesh, meta=None, trainable=None,
     momentum = float(cfg.SOLVER.MOMENTUM)
     if donate is None:
         donate = bool(cfg.TPU.DONATE)
+    from pps_tpu.data import device_augment as aug_lib
+    aug_spec = aug_lib.augment_spec(cfg)
+    import numpy as np
+    pixel_means = np.asarray(cfg.PIXEL_MEANS)
 
     def step(train_state, batch, lr, loss_scale_factor, rng, meta_=None):
         params, state, opt_state = (train_state['params'],
                                     train_state['state'],
                                     train_state['opt'])
+        if 'data_u8' in batch:
+            # on-device input pipeline: flip + augment + mean-sub + bicubic
+            # resize fused into the step graph (uint8 wire); the augment
+            # PRNG is keyed off the step rng so replays are deterministic
+            rng, aug_rng = jax.random.split(rng)
+            data = aug_lib.augment_batch(aug_rng, batch['data_u8'],
+                                         batch['flipped'], aug_spec,
+                                         pixel_means)
+            batch = {'data': data,
+                     'labels_int32': batch['labels_int32'],
+                     'labels_oh': batch['labels_oh']}
         grad_fn = jax.value_and_grad(model.train_forward, has_aux=True)
         (_, (updates, logs)), grads = grad_fn(
             params, state, batch, rng, loss_scale_factor)
