@@ -249,6 +249,9 @@ __C.EXPECTED_RESULTS = []
 __C.EXPECTED_RESULTS_RTOL = 0.1
 __C.EXPECTED_RESULTS_ATOL = 0.005
 __C.EXPECTED_RESULTS_SIGMA_TOL = 4
+# notify this address when an EXPECTED_RESULTS check fails (reference
+# core/config.py:996 + task_evaluation.py:246-270); empty = disabled
+__C.EXPECTED_RESULTS_EMAIL = ''
 __C.USE_NCCL = False  # accepted for yaml compat; collectives are XLA's job
 __C.DOWNLOAD_CACHE = '/tmp/pps-tpu-download-cache'
 __C.VIS = False

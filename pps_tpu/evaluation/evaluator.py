@@ -43,7 +43,8 @@ def _metric_dict(m_ap, cmc_scores):
 
 
 def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
-             distmat_fn=None, device_single_query=False):
+             distmat_fn=None, device_single_query=False,
+             device_rerank=False):
     """Compute mAP/CMC for single query, multi query and re-ranked variants.
 
     Args:
@@ -54,6 +55,9 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
       device_single_query: run the single-query block fully on device
         (evaluation/device_eval.py — distmat + metrics in one jit); the
         multi-query / re-ranked variants stay on the numpy golden path.
+      device_rerank: k-reciprocal re-ranking through the sparse-set XLA
+        pipeline (rerank_distmat_jax; handles full Market scale) instead
+        of the host C++/numpy paths.
     Returns a dict of results.
     """
     feat = np.asarray(feat)
@@ -125,6 +129,11 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
         from pps_tpu import native
         if native.available():  # C++/OpenMP path, same numerics
             rerank_fn = native.rerank_native
+        if device_rerank:       # XLA sparse-set path (seconds at 19k imgs)
+            from pps_tpu.evaluation.rerank import rerank_distmat_jax
+
+            def rerank_fn(*a, **kw):
+                return np.asarray(rerank_distmat_jax(*a, **kw))
         rr = rerank_fn(q_g_dist, q_q_dist, g_g_dist)
         rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
                                        cams[q_inds], cams[g_inds])

@@ -54,6 +54,15 @@ def check_expected_results(cfg, results, raise_on_fail=False):
         else:
             logger.error('FAIL: %s', msg)
             failures.append(msg)
+    if failures and getattr(cfg, 'EXPECTED_RESULTS_EMAIL', ''):
+        # reference task_evaluation.py:246-270 emails config + failure
+        import pprint
+        from pps_tpu.utils.logging import send_email
+        send_email(
+            'Expected results failure',
+            '\n\n'.join(['Failures:', '\n'.join(failures),
+                         'Config:', pprint.pformat(cfg)]),
+            cfg.EXPECTED_RESULTS_EMAIL)
     if failures and raise_on_fail:
         raise ExpectedResultsError('; '.join(failures))
     return failures

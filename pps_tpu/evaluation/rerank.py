@@ -12,10 +12,15 @@ identical numerics but vectorized set logic:
 
 Default hyperparameters k1=20, k2=6, lambda=0.3 match the reference.
 
-``rerank_distmat_jax`` provides the dense-mask on-device formulation: the
-sparse k-reciprocal sets become boolean masks so the whole pipeline is
-XLA-compilable (SURVEY.md section 5, long-context analog).
+``rerank_distmat_jax`` provides the on-device formulation (SURVEY.md
+section 5, long-context analog): the k-reciprocal sets stay *sparse* —
+padded [N, k] index lists from top-k, reciprocity checked by gather —
+and only the membership-weight matrix V is dense, built row-block by
+row-block with scatter.  Peak residency is ~3 [N, N] f32 buffers, so
+full Market scale (19,281 images) fits a 16 GB chip.
 """
+
+import functools
 
 import numpy as np
 
@@ -75,75 +80,138 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3):
     return final[:, query_num:]
 
 
-def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
-                       lambda_value=0.3):
-    """XLA-friendly dense-mask formulation (same math, runs under jit).
+@functools.lru_cache(maxsize=8)
+def _rerank_stages(n, query_num, k1, k2, lambda_value):
+    """Jitted pipeline stages for rerank_distmat_jax, cached per shape.
 
-    The data-dependent k-reciprocal sets become [N, N] boolean masks:
-      rank_pos[i, j] = position of j in i's sorted neighbor list
-      in_topk[i, j]  = rank_pos[i, j] <= k
-      reciprocal     = in_topk & in_topk.T  (restricted to i's top-k)
-    and the 2/3-overlap expansion is one masked matmul.  O(N^2) memory
-    with several [N, N] temporaries — fits ~8k total images on a 16 GB
-    chip (full Market scale, 19k, exhausts HBM; use the native C++ path
-    there, 13.9 s single-core).  The numpy path remains the golden
-    reference.
+    Everything data-dependent in the reference loops
+    (reid_dataset_evaluator.py:461-511) becomes fixed-shape sparse sets:
+    the k-reciprocal set of a row is at most k1+1 indices, its 2/3-overlap
+    expansion at most (k1+1)*(half_k1+1) more, and after the k2 local
+    query expansion a query row of V has at most S = k2*(k1+1)*(half_k1+2)
+    nonzeros — so padded index lists + validity masks cover the exact
+    algorithm with no silent truncation.
     """
     import jax
     import jax.numpy as jnp
 
-    query_num = q_g_dist.shape[0]
-    top = jnp.concatenate([q_q_dist, q_g_dist], axis=1)
-    bottom = jnp.concatenate([q_g_dist.T, g_g_dist], axis=1)
-    od = jnp.concatenate([top, bottom], axis=0)
-    od = jnp.square(od).astype(jnp.float32)
-    od = (od / jnp.max(od, axis=0)).T
-    n = od.shape[0]
+    half = int(np.around(k1 / 2.0))
+    k1p, hp = k1 + 1, half + 1
+    s0 = k1p + k1p * hp               # max expansion-set slots per row
+    s_q = min(n, s0 * (k2 if k2 != 1 else 1))
 
-    order = jnp.argsort(od, axis=1)
-    ranks = jnp.argsort(order, axis=1)  # rank_pos[i, j]
+    @jax.jit
+    def build_od(qg, qq, gg):
+        top = jnp.concatenate([qq, qg], axis=1)
+        bottom = jnp.concatenate([qg.T, gg], axis=1)
+        od = jnp.concatenate([top, bottom], axis=0)
+        od = jnp.square(od.astype(jnp.float32))
+        return (od / jnp.max(od, axis=0)).T
 
-    def reciprocal_mask(k):
-        in_topk = ranks <= k  # includes self (rank 0)
-        return in_topk & in_topk.T & in_topk
+    @jax.jit
+    def neighbor_sets(od):
+        # t1[i]: the k1+1 nearest rows (self included, ascending; the
+        # initial_rank[:, :k1+1] prefix of the reference argsort)
+        _, t1 = jax.lax.top_k(-od, k1p)
+        t1 = t1.astype(jnp.int32)
 
-    base = reciprocal_mask(k1)
-    half = reciprocal_mask(int(np.around(k1 / 2.0)))
-    # candidate expansion: candidate c's half-set is added to row i when
-    # |half[c] & base[i]| > 2/3 |half[c]|, for c in base[i]
-    inter = jnp.einsum('ck,ik->ic', half.astype(jnp.float32),
-                       base.astype(jnp.float32))
-    cand_sz = jnp.sum(half, axis=1).astype(jnp.float32)
-    accept = base & (inter > (2.0 / 3.0) * cand_sz[None, :])
-    expansion = base | (
-        jnp.einsum('ic,ck->ik', accept.astype(jnp.float32),
-                   half.astype(jnp.float32)) > 0)
+        def recip(k):
+            fwd = t1[:, :k]                       # [N, k]
+            back = t1[fwd, :k]                    # [N, k, k]
+            i = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+            return jnp.any(back == i, axis=-1)    # [N, k]
 
-    weight = jnp.where(expansion, jnp.exp(-od), 0.0)
-    V = weight / jnp.sum(weight, axis=1, keepdims=True)
+        return t1, recip(k1p), recip(hp)
 
+    @jax.jit
+    def build_V(od, t1, base_valid, half_valid):
+        base_idx = t1                              # [N, K1]
+        half_idx = t1[:, :hp]                      # [N, H1]
+        # candidate c = base_idx[i, s]; its half-k-reciprocal set is
+        # accepted when |R(c, half) & R(i, k1)| > 2/3 |R(c, half)|
+        ch_idx = half_idx[base_idx]                # [N, K1, H1]
+        ch_val = half_valid[base_idx]              # [N, K1, H1]
+        eq = ch_idx[:, :, :, None] == base_idx[:, None, None, :]
+        in_base = jnp.any(eq & base_valid[:, None, None, :], axis=-1)
+        overlap = jnp.sum(in_base & ch_val, axis=-1)          # [N, K1]
+        sz = jnp.sum(ch_val, axis=-1)
+        accept = base_valid & (overlap > (2.0 / 3.0) * sz)
+
+        idx = jnp.concatenate([base_idx, ch_idx.reshape(n, -1)], axis=1)
+        val = jnp.concatenate(
+            [base_valid, (ch_val & accept[:, :, None]).reshape(n, -1)],
+            axis=1)                                # [N, S0]
+
+        def one_row(args):
+            idx_i, val_i, od_i = args              # [S0] [S0] [N]
+            w = jnp.where(val_i, jnp.exp(-od_i[idx_i]), 0.0)
+            sidx = jnp.where(val_i, idx_i, n)      # dump invalid in col n
+            # scatter-SET: duplicate j slots carry the identical weight
+            # exp(-od[i, j]), so overwrites are harmless (the dense row
+            # is the de-duplicated union, reference's np.unique analog)
+            row = jnp.zeros((n + 1,), jnp.float32).at[sidx].set(w)[:n]
+            return row / jnp.sum(row)
+
+        return jax.lax.map(one_row, (idx, val, od),
+                           batch_size=min(n, 1024))
+
+    @jax.jit
+    def expand_V(V, t2):
+        # local query expansion: V <- mean of V over the k2 nearest rows
+        def one_row(idx_i):                        # [k2]
+            return jnp.mean(V[idx_i], axis=0)
+        return jax.lax.map(one_row, t2, batch_size=min(n, 256))
+
+    @jax.jit
+    def jaccard_blend(Vq, Vt, od_q):
+        # temp_min[i, g] = sum_j min(Vq[i, j], V[g, j]) over i's nonzero
+        # support (<= s_q entries, gathered as rows of V^T — the dense
+        # analog of the reference's inverted index)
+        vals, idxs = jax.lax.top_k(Vq, s_q)        # [Nq, S]
+
+        def one_query(args):
+            v_i, j_i = args
+            cols = Vt[j_i]                         # [S, N]
+            mins = jnp.minimum(v_i[:, None], cols)
+            mins = jnp.where((v_i > 0)[:, None], mins, 0.0)
+            return jnp.sum(mins, axis=0)           # [N]
+
+        temp_min = jax.lax.map(one_query, (vals, idxs),
+                               batch_size=min(query_num, 16))
+        jac = 1.0 - temp_min / (2.0 - temp_min)
+        return jac * (1 - lambda_value) + od_q * lambda_value
+
+    return build_od, neighbor_sets, build_V, expand_V, jaccard_blend
+
+
+def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
+                       lambda_value=0.3):
+    """On-device re-ranking at gallery scale (same math as `re_ranking`).
+
+    Sparse-set formulation: per-row k-reciprocal sets are padded top-k
+    index lists (reciprocity = one gather + compare), the 2/3-overlap
+    expansion is a [N, k1+1, half+1, k1+1] compare-reduce, and V is built
+    densely in row blocks by scatter.  Stages are jitted separately so
+    at most ~3 [N, N] f32 buffers are live: 19,281 images (full Market)
+    peak ~4.5 GB HBM.  Matches the numpy golden path to float tolerance
+    (ties in the top-k prefix excepted, as with any argsort vs top-k).
+    """
+    import jax
+
+    query_num = int(q_g_dist.shape[0])
+    n = query_num + int(q_g_dist.shape[1])
+    build_od, neighbor_sets, build_V, expand_V, jaccard_blend = \
+        _rerank_stages(n, query_num, int(k1), int(k2), float(lambda_value))
+
+    od = build_od(q_g_dist, q_q_dist, g_g_dist)
+    t1, base_valid, half_valid = neighbor_sets(od)
+    V = build_V(od, t1, base_valid, half_valid)
+    od_q = jax.device_put(od[:query_num]).block_until_ready()
+    del od
     if k2 != 1:
-        topk2 = ranks < k2
-        V = (topk2.astype(jnp.float32) @ V) / k2
-
-    Vq = V[:query_num]
-    # jaccard: temp_min[i, g] = sum_j min(Vq[i, j], V[g, j]).
-    # V rows are sparse (~k1*k2 nonzeros); materializing [Nq, N, N] would
-    # blow HBM, so keep each query row as its top-S (value, index) pairs and
-    # gather the matching V columns per query (the dense-mask analog of the
-    # reference's inverted index, reid_dataset_evaluator.py:497-511).
-    s_keep = min(n, 4 * (k1 + 1) * max(k2, 1))
-    vals, idxs = jax.lax.top_k(Vq, s_keep)           # [Nq, S]
-    vt = V.T                                         # [N(j), N(g)]
-
-    def one_query(args):
-        v_i, j_i = args
-        cols = vt[j_i]                               # [S, N]
-        mins = jnp.minimum(v_i[:, None], cols)
-        mins = jnp.where((v_i > 0)[:, None], mins, 0.0)
-        return jnp.sum(mins, axis=0)                 # [N]
-
-    temp_min = jax.lax.map(one_query, (vals, idxs), batch_size=128)
-    jaccard = 1.0 - temp_min / (2.0 - temp_min)
-    final = jaccard * (1 - lambda_value) + od[:query_num] * lambda_value
+        V = expand_V(V, t1[:, :k2])
+    Vt = jax.jit(lambda v: v.T)(V)
+    Vq = jax.device_put(V[:query_num]).block_until_ready()
+    del V
+    final = jaccard_blend(Vq, Vt, od_q)
     return final[:, query_num:]

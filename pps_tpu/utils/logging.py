@@ -51,6 +51,24 @@ class SmoothedValue(object):
         return self.total / max(self.count, 1)
 
 
+def send_email(subject, body, to):
+    """Failure notifier (reference utils/logging.py:68-73): local SMTP.
+    Delivery failures are logged, never raised — a missing mail daemon
+    must not mask the underlying result-check failure."""
+    try:
+        import smtplib
+        from email.mime.text import MIMEText
+        s = smtplib.SMTP('localhost')
+        mime = MIMEText(body)
+        mime['Subject'] = subject
+        mime['To'] = to
+        s.sendmail('pps_tpu', to, mime.as_string())
+        s.quit()
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            'send_email to %s failed: %s', to, e)
+
+
 def setup_logging(name):
     FORMAT = '%(levelname)s %(filename)s:%(lineno)4d: %(message)s'
     # Manually clear root loggers to prevent any module that may have called

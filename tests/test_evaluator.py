@@ -112,6 +112,24 @@ def test_rerank_jax_matches_numpy(rng_np):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_rerank_jax_matches_numpy_default_params(rng_np):
+    # reference hyperparams k1=20, k2=6 (reid_dataset_evaluator.py:442)
+    # at a scale where the 2/3-overlap expansion genuinely fires, plus
+    # the k2=1 no-expansion branch
+    feat, ids = _clustered_features(rng_np, 30, 10, dim=24, noise=0.4)
+    nq = 60
+    q, g = feat[:nq], feat[nq:]
+    qg = metrics.compute_dist(q, g)
+    qq = metrics.compute_dist(q, q)
+    gg = metrics.compute_dist(g, g)
+    want = re_ranking(qg, qq, gg)
+    got = np.asarray(rerank_distmat_jax(qg, qq, gg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    want1 = re_ranking(qg, qq, gg, k2=1)
+    got1 = np.asarray(rerank_distmat_jax(qg, qq, gg, k2=1))
+    np.testing.assert_allclose(got1, want1, atol=2e-4)
+
+
 def test_parse_im_name():
     assert parse_im_name('00000042_0003_00000007.jpg', 'id') == 42
     assert parse_im_name('00000042_0003_00000007.jpg', 'cam') == 3
