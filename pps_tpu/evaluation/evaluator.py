@@ -121,31 +121,55 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
         results['multi'] = _metric_dict(mq_map, mq_cmc)
 
     if to_re_rank:
-        if q_g_dist is None:  # device path skipped the host distmat
-            q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
-        q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
-        g_g_dist = np.asarray(dist_fn(feat[g_inds], feat[g_inds]))
-        rerank_fn = re_ranking
-        from pps_tpu import native
-        if native.available():  # C++/OpenMP path, same numerics
-            rerank_fn = native.rerank_native
-        if device_rerank:       # XLA sparse-set path (seconds at 19k imgs)
+        if device_rerank:
+            # end-to-end on-chip: distmats, sparse-set re-ranking and the
+            # mAP/CMC scoring all stay device-resident; only scalar
+            # metrics cross the wire (the [N,N] distmats never do — over
+            # this harness's tunneled H2D that is the difference between
+            # ~3 s and ~40 s at Market scale)
+            from pps_tpu.evaluation.device_eval import cmc_map_device
             from pps_tpu.evaluation.rerank import rerank_distmat_jax
 
-            def rerank_fn(*a, **kw):
-                return np.asarray(rerank_distmat_jax(*a, **kw))
-        rr = rerank_fn(q_g_dist, q_q_dist, g_g_dist)
-        rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
-                                       cams[q_inds], cams[g_inds])
+            def rerank_score(qg, qq, gg, q_ids, q_cams):
+                rr = rerank_distmat_jax(qg, qq, gg)
+                m, c = cmc_map_device(rr, q_ids, ids[g_inds], q_cams,
+                                      cams[g_inds], topk=10)
+                return float(m), np.asarray(c)
+
+            rr_map, rr_cmc = rerank_score(
+                dist_fn(feat[q_inds], feat[g_inds]),
+                dist_fn(feat[q_inds], feat[q_inds]),
+                dist_fn(feat[g_inds], feat[g_inds]),
+                ids[q_inds], cams[q_inds])
+        else:
+            if q_g_dist is None:  # device path skipped the host distmat
+                q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
+            q_q_dist = np.asarray(dist_fn(feat[q_inds], feat[q_inds]))
+            g_g_dist = np.asarray(dist_fn(feat[g_inds], feat[g_inds]))
+            rerank_fn = re_ranking
+            from pps_tpu import native
+            if native.available():  # C++/OpenMP path, same numerics
+                rerank_fn = native.rerank_native
+            rr = rerank_fn(q_g_dist, q_q_dist, g_g_dist)
+            rr_map, rr_cmc = compute_score(rr, ids[q_inds], ids[g_inds],
+                                           cams[q_inds], cams[g_inds])
         print_scores('Re-ranked Single Query:', rr_map, rr_cmc)
         results['single_rerank'] = _metric_dict(rr_map, rr_cmc)
 
         if mq_feat is not None:
-            mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
-            rr_mq = rerank_fn(mq_g_dist, mq_mq_dist, g_g_dist)
-            rr_mq_map, rr_mq_cmc = compute_score(
-                rr_mq, np.array([k[0] for k in mq_keys]), ids[g_inds],
-                np.array([k[1] for k in mq_keys]), cams[g_inds])
+            mq_ids_p = np.array([k[0] for k in mq_keys])
+            mq_cams_p = np.array([k[1] for k in mq_keys])
+            if device_rerank:
+                rr_mq_map, rr_mq_cmc = rerank_score(
+                    dist_fn(mq_feat, feat[g_inds]),
+                    dist_fn(mq_feat, mq_feat),
+                    dist_fn(feat[g_inds], feat[g_inds]),
+                    mq_ids_p, mq_cams_p)
+            else:
+                mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
+                rr_mq = rerank_fn(mq_g_dist, mq_mq_dist, g_g_dist)
+                rr_mq_map, rr_mq_cmc = compute_score(
+                    rr_mq, mq_ids_p, ids[g_inds], mq_cams_p, cams[g_inds])
             print_scores('Re-ranked Multi Query:', rr_mq_map, rr_mq_cmc)
             results['multi_rerank'] = _metric_dict(rr_mq_map, rr_mq_cmc)
 

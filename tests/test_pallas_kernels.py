@@ -5,7 +5,6 @@ pattern)."""
 import numpy as np
 import pytest
 
-from pps_tpu.ops.pallas.distmat import pallas_euclidean_distmat
 from pps_tpu.ops.pallas.topk import streaming_topk
 from pps_tpu.ops.pallas.zero_even import zero_even
 
@@ -14,29 +13,6 @@ def _np_distmat(q, g):
     d2 = (np.square(q).sum(1)[:, None] + np.square(g).sum(1)[None, :]
           - 2.0 * q @ g.T)
     return np.sqrt(np.maximum(d2, 0.0))
-
-
-@pytest.mark.parametrize('nq,ng,d', [(17, 33, 48), (64, 128, 128),
-                                     (100, 300, 96)])
-def test_pallas_distmat_golden(nq, ng, d):
-    rng = np.random.RandomState(0)
-    q = rng.randn(nq, d).astype(np.float32)
-    g = rng.randn(ng, d).astype(np.float32)
-    want = _np_distmat(q, g)
-    got = np.asarray(pallas_euclidean_distmat(
-        q, g, block_q=8, block_g=128, block_d=32, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
-def test_pallas_distmat_squared():
-    rng = np.random.RandomState(1)
-    q = rng.randn(9, 16).astype(np.float32)
-    g = rng.randn(12, 16).astype(np.float32)
-    got = np.asarray(pallas_euclidean_distmat(
-        q, g, block_q=8, block_g=128, block_d=16, sqrt_out=False,
-        interpret=True))
-    np.testing.assert_allclose(got, _np_distmat(q, g) ** 2, rtol=1e-5,
-                               atol=1e-5)
 
 
 def test_streaming_topk_matches_full_sort():
