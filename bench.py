@@ -13,8 +13,13 @@ property of the framework or hardware).
 
 vs_baseline compares against the reference's inference *style* — one image
 per graph execution (reference core/test_engine.py:282, core/test.py:163) —
-measured on the same chip with the same weights, isolating exactly what the
-TPU redesign changed (batching + one fused XLA graph).
+measured on the same chip with the same weights.  It is measured as pure
+DEVICE time (batch-1 forwards chained through a data dependency inside one
+scan), so it is the conservative lower bound on the batching win: the
+reference loop additionally pays a synchronous host round trip per image
+(FeedBlob/RunNet/FetchBlob), which the batched path amortizes 512x but
+which cannot be measured honestly through this harness's ~25 ms network
+tunnel (BASELINE.md has the decomposition).
 """
 
 import json
@@ -24,20 +29,32 @@ import numpy as np
 
 
 def _throughput(fn, args, batch, iters=20, warmup=3):
+    """Slope-method steady-state throughput: dispatch N executions and
+    force completion with one scalar readback, for two values of N; the
+    per-iteration time is the slope.  `block_until_ready` on an unchained
+    output can return early through tunneled PJRT plugins, and blocking
+    per iteration adds the tunnel RTT to every sample (CLAUDE.md)."""
     import jax
-    out = None
+    import jax.numpy as jnp
+
+    def run(n):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        float(jnp.sum(out))
+        return time.perf_counter() - t0
+
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return batch * iters / (time.perf_counter() - t0)
+        run(1)
+    t_small = run(2)
+    t_big = run(2 + iters)
+    return batch * iters / (t_big - t_small)
 
 
 def main():
     import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
 
@@ -54,9 +71,33 @@ def main():
     ips_chip = _throughput(fn, (params, state, images), batch) / n_chips
 
     # baseline stand-in: unbatched single-image extraction (the reference's
-    # one-image-per-RunNet inference loop).
+    # one-image-per-RunNet inference loop).  Async batch-1 dispatches are
+    # ~1 ms each, so slope timing them measures host dispatch jitter, not
+    # the device; instead chain N forwards through a real data dependency
+    # inside one jitted scan (feat-dependent 1e-30 perturbation — NOT *0.0,
+    # which XLA constant-folds) so the measurement is device-bound.
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def chained(p, s, x, n):
+        def body(carry, _):
+            feat = model.extract_features(p, s, carry)
+            leaf = jax.tree_util.tree_leaves(feat)[0]
+            return carry + jnp.sum(leaf) * 1e-30, None
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+
     img1 = jax.device_put(np.asarray(images[:1]))
-    ips_ref = _throughput(fn, (params, state, img1), 1, iters=50) / n_chips
+
+    def run_chain(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(chained(params, state, img1, n)))
+        return time.perf_counter() - t0
+
+    for n in (4, 104):  # compile both trip counts
+        run_chain(n)
+    ips_ref = 100.0 / (run_chain(104) - run_chain(4)) / n_chips
 
     print(json.dumps({
         'metric': 'gallery_extract_imgs_per_sec_per_chip',

@@ -26,16 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _time(fn, args, iters, warmup=3):
+    """Slope timing: dispatch N, force with one scalar readback, two N
+    values (block_until_ready on unchained outputs can return early
+    through the tunneled PJRT plugin — CLAUDE.md)."""
     import jax
-    out = None
+    import jax.numpy as jnp
+
+    def consume(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf))
+
+    def run(n):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        consume(out)
+        return time.perf_counter() - t0
+
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        run(1)
+    t_small = run(2)
+    t_big = run(2 + iters)
+    return (t_big - t_small) / iters
 
 
 def main():
@@ -128,13 +141,18 @@ def main():
         new_ts, logs = step(ts_, sb, lr, lsf, key)
         return new_ts
 
+    def settle(ts_):
+        # scalar readback (chained steps serialize on-device; the final
+        # readback guarantees completion where block_until_ready may not)
+        float(jnp.sum(ts_['params']['conv1_w']))
+
     for _ in range(3):
         ts = full(ts)
-    jax.block_until_ready(ts)
+    settle(ts)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ts = full(ts)
-    jax.block_until_ready(ts)
+    settle(ts)
     t = (time.perf_counter() - t0) / args.iters
     tf_s = 3 * fwd_gf * args.batch / t / 1e3
     print('%-12s %7.2f ms  %6.1f TFLOP/s  (%5.0f imgs/s)'
@@ -160,11 +178,11 @@ def main():
 
     for _ in range(3):
         ts = full_u8(ts)
-    jax.block_until_ready(ts)
+    settle(ts)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ts = full_u8(ts)
-    jax.block_until_ready(ts)
+    settle(ts)
     tu = (time.perf_counter() - t0) / args.iters
     print('%-12s %7.2f ms  (%5.0f imgs/s)  = %.0f%% of resident-f32 rate'
           % ('u8aug_step', tu * 1e3, args.batch / tu, 100.0 * t / tu))
