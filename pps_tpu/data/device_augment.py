@@ -234,14 +234,19 @@ def _randint(key, shape, low, high):
 
 
 def sample_params(key, spec, batch, raw_hw):
-    """All per-sample augmentation parameters, sampled in-graph."""
+    """All per-sample augmentation parameters, sampled in-graph.
+
+    raw_hw may be python ints (every sample shares the full array shape)
+    or per-sample [B] int arrays (padded wire: each sample's valid decode
+    size — draws then scale per sample, matching what the host chain
+    would draw for that image's true size)."""
     in_h, in_w = raw_hw
     ks = jax.random.split(key, 16)
     p = {}
 
     # random_crop (reid.py:249-268)
-    ch = jnp.full((batch,), in_h, jnp.int32)
-    cw = jnp.full((batch,), in_w, jnp.int32)
+    ch = jnp.broadcast_to(jnp.asarray(in_h, jnp.int32), (batch,))
+    cw = jnp.broadcast_to(jnp.asarray(in_w, jnp.int32), (batch,))
     y0 = jnp.zeros((batch,), jnp.int32)
     x0 = jnp.zeros((batch,), jnp.int32)
     if spec['crop_prob'] > 0:
@@ -250,10 +255,10 @@ def sample_params(key, spec, batch, raw_hw):
                                 maxval=1.0)
         wr = jax.random.uniform(ks[2], (batch,), minval=spec['crop_ratio'],
                                 maxval=1.0)
-        nch = (in_h * hr).astype(jnp.int32)
-        ncw = (in_w * wr).astype(jnp.int32)
-        ny0 = _randint(ks[3], (batch,), 0, jnp.maximum(in_h - nch, 1))
-        nx0 = _randint(ks[4], (batch,), 0, jnp.maximum(in_w - ncw, 1))
+        nch = (ch * hr).astype(jnp.int32)
+        ncw = (cw * wr).astype(jnp.int32)
+        ny0 = _randint(ks[3], (batch,), 0, jnp.maximum(ch - nch, 1))
+        nx0 = _randint(ks[4], (batch,), 0, jnp.maximum(cw - ncw, 1))
         ch = jnp.where(fire, nch, ch)
         cw = jnp.where(fire, ncw, cw)
         y0 = jnp.where(fire, ny0, y0)
@@ -326,13 +331,32 @@ def sample_params(key, spec, batch, raw_hw):
 # ---------------------------------------------------------------------------
 
 
-def apply_augment(x_u8, flipped, params, spec, pixel_means):
+def apply_augment(x_u8, flipped, params, spec, pixel_means, valid_hw=None):
     """uint8 [B,H,W,3] + sampled params -> f32 [B,H',W',3], matching the
-    host chain output (minibatch.get_minibatch train path)."""
+    host chain output (minibatch.get_minibatch train path).
+
+    valid_hw (padded wire): [B,2] int array of each sample's true decode
+    size; the array is padded bottom/right with numpy 'reflect'
+    (= cv2 BORDER_REFLECT_101) on the host.  Flipping the reflect-padded
+    array yields the reflect-padded flipped image with the valid region
+    moved to columns [W_pad-w, W_pad), so flipped samples' column
+    coordinates (crop start, erase box) shift by W_pad-w; every other op
+    is unchanged — blur taps read the reflected pad content (exactly what
+    jnp 'reflect' would produce at the true edge) and the resize matrices
+    never sample outside the valid window.  The padded pipeline is
+    bitwise-identical to running each sample at its true size, except
+    blur taps that cross a 1-2 px pad (pad width below the 3 px blur
+    radius double-reflects; pad 0 or >=3 is exact) — the same class of
+    documented boundary delta as crop-edge blur.  With valid_hw=None
+    this is the original fixed-size graph, unchanged."""
     x = jnp.asarray(x_u8).astype(jnp.int32)
+    off_w = None
     if flipped is not None:
         x = jnp.where(jnp.asarray(flipped)[:, None, None, None],
                       x[:, :, ::-1, :], x)
+        if valid_hw is not None:
+            off_w = jnp.where(jnp.asarray(flipped),
+                              x.shape[2] - valid_hw[:, 1], 0)
     if 'hsv_on' in params:
         jit_x = hsv_jitter_u8(x, params['d_sat'], params['d_hue'],
                               params['d_val'])
@@ -347,22 +371,28 @@ def apply_augment(x_u8, flipped, params, spec, pixel_means):
                 np.int32))
         rows = jnp.arange(x.shape[1])[None, :]
         cols = jnp.arange(x.shape[2])[None, :]
+        er_x = params['er_x'] if off_w is None else params['er_x'] + off_w
         rmask = ((rows >= params['er_y'][:, None]) &
                  (rows < (params['er_y'] + params['er_h'])[:, None]))
-        cmask = ((cols >= params['er_x'][:, None]) &
-                 (cols < (params['er_x'] + params['er_w'])[:, None]))
+        cmask = ((cols >= er_x[:, None]) &
+                 (cols < (er_x + params['er_w'])[:, None]))
         mask = (params['erase_on'][:, None, None]
                 & rmask[:, :, None] & cmask[:, None, :])
         x = jnp.where(mask[..., None], fill[None, None, None, :], x)
 
     xf = x.astype(jnp.float32) - jnp.asarray(pixel_means,
                                              jnp.float32).reshape(1, 1, 1, 3)
+    x0 = params['x0'] if off_w is None else params['x0'] + off_w
     return crop_resize_batch(xf, params['ch'], params['cw'], params['y0'],
-                             params['x0'], spec['out_hw'])
+                             x0, spec['out_hw'])
 
 
-def augment_batch(key, x_u8, flipped, spec, pixel_means):
+def augment_batch(key, x_u8, flipped, spec, pixel_means, valid_hw=None):
     """Sample + apply in one call (the train-step entry point)."""
-    params = sample_params(key, spec, x_u8.shape[0],
-                           (x_u8.shape[1], x_u8.shape[2]))
-    return apply_augment(x_u8, flipped, params, spec, pixel_means)
+    if valid_hw is None:
+        raw_hw = (x_u8.shape[1], x_u8.shape[2])
+    else:
+        raw_hw = (valid_hw[:, 0], valid_hw[:, 1])
+    params = sample_params(key, spec, x_u8.shape[0], raw_hw)
+    return apply_augment(x_u8, flipped, params, spec, pixel_means,
+                         valid_hw=valid_hw)

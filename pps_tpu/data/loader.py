@@ -34,6 +34,16 @@ class ReIDLoader(object):
         self._decode_fn = decode_fn
         self._device_put_fn = device_put_fn
         self._raw = raw  # uint8 wire for on-device augmentation
+        # variable-size datasets (Duke/CUHK03 raw): pad every decode to a
+        # dataset-global bucket so the wire has ONE static shape (one
+        # train-step compile) instead of falling back to the host chain
+        # per mixed batch; minibatch.py ships valid_hw alongside.
+        self._raw_pad_hw = None
+        if raw:
+            sizes = {(e.get('height'), e.get('width')) for e in roidb}
+            if len(sizes) > 1 and all(None not in s for s in sizes):
+                self._raw_pad_hw = (max(h for h, _ in sizes),
+                                    max(w for _, w in sizes))
         self._prefetch = prefetch
         self._num_workers = num_workers
         seed = cfg.RNG_SEED if seed is None else seed
@@ -98,7 +108,8 @@ class ReIDLoader(object):
                 entries = [self._roidb[j] for j in idx]
                 batch = minibatch_lib.get_minibatch(
                     entries, self._cfg, rng, train=True,
-                    decode_fn=self._decode_fn, raw=self._raw)
+                    decode_fn=self._decode_fn, raw=self._raw,
+                    raw_pad_hw=self._raw_pad_hw)
                 self._slots[slot] = (i, mode, scale, batch)
             except Exception as e:  # propagate to consumer (coordinator.py)
                 logger.exception('loader worker failed')

@@ -15,7 +15,7 @@ def get_minibatch_blob_names():
 
 
 def get_minibatch(roidb_entries, cfg, rng, train=True, decode_fn=None,
-                  raw=False):
+                  raw=False, raw_pad_hw=None):
     """Decode + augment + resize a list of roidb entries.
 
     Returns {'data': [B,H,W,3] f32 BGR mean-subtracted,
@@ -25,8 +25,16 @@ def get_minibatch(roidb_entries, cfg, rng, train=True, decode_fn=None,
     raw=True (the TPU.DEVICE_AUGMENT wire): when every decode in the batch
     shares one shape, ship {'data_u8': [B,h,w,3] uint8, 'flipped': [B]}
     instead of 'data' — flip/augment/resize then run inside the jitted
-    train step (data/device_augment.py).  Mixed-size batches fall back to
-    the host chain below.
+    train step (data/device_augment.py).
+
+    raw_pad_hw (variable-size datasets, e.g. Duke/CUHK03 raw): a dataset-
+    global (H_pad, W_pad) bucket; every decode is padded bottom/right with
+    numpy 'reflect' (= cv2 BORDER_REFLECT_101, so in-graph blur borders
+    match the true-size chain bitwise) and the batch additionally carries
+    'valid_hw' [B,2] with each sample's true size — ONE static wire shape
+    for the whole dataset, so the train step compiles exactly once.
+    Batches that don't fit the contract (mixed sizes with no bucket, or a
+    decode exceeding the bucket) fall back to the host chain below.
     """
     decode_fn = decode_fn or transforms.decode_image
     w, h = cfg.REID.SCALE
@@ -38,11 +46,27 @@ def get_minibatch(roidb_entries, cfg, rng, train=True, decode_fn=None,
     oh[np.arange(b), labels] = 1.0
 
     ims = [decode_fn(entry['image']) for entry in roidb_entries]
-    if raw and train and all(im.shape == ims[0].shape for im in ims):
-        return {'data_u8': np.stack(ims),
-                'flipped': np.asarray(
-                    [bool(e.get('flipped')) for e in roidb_entries]),
-                'labels_int32': labels, 'labels_oh': oh}
+    if raw and train:
+        flipped = np.asarray(
+            [bool(e.get('flipped')) for e in roidb_entries])
+        if raw_pad_hw is None:
+            if all(im.shape == ims[0].shape for im in ims):
+                return {'data_u8': np.stack(ims), 'flipped': flipped,
+                        'labels_int32': labels, 'labels_oh': oh}
+        else:
+            ph, pw = raw_pad_hw
+            # (>= 2 per axis: numpy 'reflect' needs a value to reflect)
+            if all(2 <= im.shape[0] <= ph and 2 <= im.shape[1] <= pw
+                   for im in ims):
+                padded = np.stack([
+                    np.pad(im, ((0, ph - im.shape[0]),
+                                (0, pw - im.shape[1]), (0, 0)),
+                           mode='reflect') for im in ims])
+                valid_hw = np.asarray(
+                    [im.shape[:2] for im in ims], np.int32)
+                return {'data_u8': padded, 'flipped': flipped,
+                        'valid_hw': valid_hw,
+                        'labels_int32': labels, 'labels_oh': oh}
 
     data = np.empty((b, h, w, 3), np.float32)
     pixel_means = np.asarray(cfg.PIXEL_MEANS)

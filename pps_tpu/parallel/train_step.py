@@ -57,7 +57,8 @@ def make_train_step(model, cfg, mesh, meta=None, trainable=None,
             rng, aug_rng = jax.random.split(rng)
             data = aug_lib.augment_batch(aug_rng, batch['data_u8'],
                                          batch['flipped'], aug_spec,
-                                         pixel_means)
+                                         pixel_means,
+                                         valid_hw=batch.get('valid_hw'))
             batch = {'data': data,
                      'labels_int32': batch['labels_int32'],
                      'labels_oh': batch['labels_oh']}

@@ -172,3 +172,118 @@ def test_full_pipeline_jits_and_is_deterministic():
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1.0  # different key, different augs
     assert np.isfinite(a).all()
+
+
+# ---------------------------------------------------------------------------
+# padded variable-size wire (valid_hw)
+# ---------------------------------------------------------------------------
+
+
+def _pad_reflect(im, ph, pw):
+    return np.pad(im, ((0, ph - im.shape[0]), (0, pw - im.shape[1]),
+                       (0, 0)), mode='reflect')
+
+
+def _slice_params(params, i):
+    return {k: v[i:i + 1] for k, v in params.items()}
+
+
+def test_padded_valid_hw_matches_exact_size():
+    """Full augmentation chain on a reflect-padded mixed-size batch ==
+    running each sample at its true size (pad 0 or >= blur radius), flip
+    included.  Padded samples contract the resize einsum over the bucket
+    width instead of the true width, so agreement is to f32 reduction
+    order (~1e-5), bitwise when the sample fills the bucket."""
+    spec = _spec(crop_prob=0.5, crop_ratio=0.8, hsv_prob=0.5, sat_range=20,
+                 hue_range=10, val_range=10, blur_prob=0.5, blur_kernel=5,
+                 erase_prob=0.5)
+    sizes = [(64, 32), (48, 24), (56, 20), (64, 32)]
+    ims = [_img(i, h=h, w=w) for i, (h, w) in enumerate(sizes)]
+    ph, pw = 64, 32  # pads are 0 or >= 8 > blur radius
+    padded = np.stack([_pad_reflect(im, ph, pw) for im in ims])
+    valid_hw = jnp.asarray(sizes, jnp.int32)
+    flipped = np.array([True, True, False, False])
+
+    params = da.sample_params(jax.random.PRNGKey(3), spec, 4,
+                              (valid_hw[:, 0], valid_hw[:, 1]))
+    got = np.asarray(da.apply_augment(padded, flipped, params, spec,
+                                      MEANS, valid_hw=valid_hw))
+    for i, im in enumerate(ims):
+        want = np.asarray(da.apply_augment(
+            im[None], flipped[i:i + 1], _slice_params(params, i), spec,
+            MEANS))[0]
+        if ims[i].shape == (64, 32, 3):
+            np.testing.assert_array_equal(got[i], want)
+        else:
+            np.testing.assert_allclose(got[i], want, atol=1e-3)
+
+
+def test_padded_draws_scale_with_valid_size():
+    """Crop/erase draws are bounded by each sample's true size, not the
+    bucket."""
+    spec = _spec(crop_prob=1.0, crop_ratio=0.7, erase_prob=1.0)
+    h = jnp.asarray([64, 40, 24], jnp.int32)
+    w = jnp.asarray([32, 20, 12], jnp.int32)
+    p = da.sample_params(jax.random.PRNGKey(0), spec, 3, (h, w))
+    assert (np.asarray(p['y0'] + p['ch']) <= np.asarray(h)).all()
+    assert (np.asarray(p['x0'] + p['cw']) <= np.asarray(w)).all()
+    on = np.asarray(p['erase_on'])
+    assert (np.asarray(p['er_y'] + p['er_h'])[on]
+            <= np.asarray(h)[on]).all()
+    assert (np.asarray(p['er_x'] + p['er_w'])[on]
+            <= np.asarray(w)[on]).all()
+
+
+def test_minibatch_raw_padded_wire():
+    """Mixed-size raw batches ship ONE static padded shape + valid_hw."""
+    from pps_tpu.config import cfg, reset_cfg, merge_cfg_from_list
+    from pps_tpu.data import minibatch as mb
+    reset_cfg()
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '5',
+                         'REID.SCALE', '(32, 96)'])
+    sizes = {1: (64, 32), 2: (48, 24), 3: (64, 32)}
+    entries = [{'image': k, 'gt_class': k, 'flipped': k == 2}
+               for k in (1, 2, 3)]
+    decode = lambda k: _img(k, *sizes[k])
+    out = mb.get_minibatch(entries, cfg, np.random.RandomState(0),
+                           train=True, decode_fn=decode, raw=True,
+                           raw_pad_hw=(64, 32))
+    assert out['data_u8'].shape == (3, 64, 32, 3)
+    np.testing.assert_array_equal(out['valid_hw'],
+                                  [[64, 32], [48, 24], [64, 32]])
+    np.testing.assert_array_equal(out['flipped'], [False, True, False])
+    np.testing.assert_array_equal(
+        out['data_u8'][1], _pad_reflect(decode(2), 64, 32))
+    # a decode larger than the bucket falls back to the host chain
+    big = mb.get_minibatch(entries, cfg, np.random.RandomState(0),
+                           train=True, decode_fn=decode, raw=True,
+                           raw_pad_hw=(48, 24))
+    assert 'data' in big and 'data_u8' not in big
+
+
+def test_loader_buckets_mixed_size_roidb():
+    """ReIDLoader derives the dataset-global bucket from roidb metadata
+    so every wire batch compiles against one shape."""
+    from pps_tpu.config import cfg, reset_cfg, merge_cfg_from_list
+    from pps_tpu.data.loader import ReIDLoader
+    reset_cfg()
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '5', 'NUM_GPUS', '1',
+                         'TRAIN.IMS_PER_BATCH', '4',
+                         'REID.SCALE', '(32, 96)',
+                         'REID.TRIPLET_LOSS', 'False'])
+    rng = np.random.RandomState(0)
+    roidb = []
+    for i in range(16):
+        h, w = (64, 32) if i % 2 else (48, 20)
+        roidb.append({'image': (i, h, w), 'gt_class': i % 4 + 1,
+                      'height': h, 'width': w, 'flipped': False})
+    loader = ReIDLoader(roidb, cfg, num_workers=1, seed=0,
+                        decode_fn=lambda k: _img(k[0], h=k[1], w=k[2]),
+                        raw=True)
+    assert loader._raw_pad_hw == (64, 32)
+    n = 0
+    for _i, _scale, b in loader.iter_epoch(0):
+        assert b['data_u8'].shape[1:] == (64, 32, 3)
+        assert b['valid_hw'].shape[1] == 2
+        n += 1
+    assert n > 0
