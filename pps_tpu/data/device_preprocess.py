@@ -83,6 +83,22 @@ def preprocess_on_device(images_u8, pixel_means, out_hw):
     return resize_bicubic(x, out_hw)
 
 
+def preprocess_on_device_padded(images_u8, valid_hw, pixel_means, out_hw):
+    """Variable-size form: uint8 [B, H_pad, W_pad, 3] decodes padded to a
+    dataset-global bucket + per-sample valid_hw [B,2] -> float32
+    [B, H', W', 3].  The per-sample resize matrices (device_augment's
+    fused crop/resize, with the valid region as the window) never sample
+    the pad, so this matches resizing each image from its true size — one
+    static wire shape for heterogeneous sets like Duke/CUHK03 raw."""
+    from pps_tpu.data.device_augment import crop_resize_batch
+    x = images_u8.astype(jnp.float32) - jnp.asarray(pixel_means,
+                                                    jnp.float32)
+    zeros = jnp.zeros((x.shape[0],), jnp.int32)
+    return crop_resize_batch(x, valid_hw[:, 0].astype(jnp.int32),
+                             valid_hw[:, 1].astype(jnp.int32),
+                             zeros, zeros, tuple(out_hw))
+
+
 def make_device_preproc_extract(model, pixel_means, out_hw):
     """jitted (params, state, uint8 images) -> embeddings with the
     preprocessing fused into the extraction graph."""

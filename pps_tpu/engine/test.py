@@ -75,8 +75,11 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
     the consumer overlaps H2D with device compute exactly like
     parallel/eval_step.extract_features.  Batches whose decoded images all
     share one raw shape ride the device-preproc path (uint8 wire + fused
-    MXU bicubic); mixed-size batches fall back to host preprocessing
-    per batch, so heterogeneous sets still stream.
+    MXU bicubic).  Heterogeneous sets with roidb height/width metadata
+    (Duke/CUHK03 raw) ride the PADDED device-preproc wire: decodes padded
+    to one dataset-global bucket + per-sample valid_hw resize matrices —
+    one compile, no host resize.  Batches outside both contracts fall
+    back to host preprocessing per batch, so anything still streams.
     """
     import jax
     from collections import deque
@@ -88,11 +91,30 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
     sharding = mesh_lib.batch_sharding(mesh, fold_model=True)
     host_fn = make_extract_fn(model, mesh, flip_tta=flip_tta)
     dev_fn = None  # created lazily on the first uint8 batch
+    dev_fn_p = None  # lazily, padded variable-size wire
+
+    # heterogeneous sets (Duke/CUHK03 raw): pad decodes to one dataset-
+    # global bucket + ship valid_hw, so the device-preproc graph compiles
+    # once instead of per distinct shape (or falling back to host resize)
+    pad_hw = None
+    if device_preproc:
+        sizes = {(e.get('height'), e.get('width')) for e in roidb}
+        if len(sizes) > 1 and all(None not in s for s in sizes):
+            pad_hw = (max(s[0] for s in sizes), max(s[1] for s in sizes))
 
     def prep(start):
         entries = roidb[start:start + batch_size]
         ims = [decode_fn(e['image']) for e in entries]
         real = len(ims)
+        if device_preproc and pad_hw is not None and all(
+                2 <= im.shape[0] <= pad_hw[0]
+                and 2 <= im.shape[1] <= pad_hw[1] for im in ims):
+            padded = np.stack([
+                np.pad(im, ((0, pad_hw[0] - im.shape[0]),
+                            (0, pad_hw[1] - im.shape[1]), (0, 0)),
+                       mode='reflect') for im in ims])
+            valid = np.asarray([im.shape[:2] for im in ims], np.int32)
+            return 'u8p', (padded, valid), real
         if device_preproc and all(im.shape == ims[0].shape for im in ims):
             return 'u8', np.stack(ims), real
         out = np.empty((real, h, w, 3), np.float32)
@@ -114,18 +136,31 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
                 futs.append(pool.submit(prep, starts[issued]))
                 issued += 1
             pad = batch_size - real
-            if pad:
-                arr = np.concatenate(
-                    [arr, np.tile(arr[-1:], (pad,) + (1,) * (arr.ndim - 1))],
-                    axis=0)
-            dev = jax.device_put(arr, sharding)
-            if kind == 'u8':
+
+            def tail_pad(a):
+                return np.concatenate(
+                    [a, np.tile(a[-1:], (pad,) + (1,) * (a.ndim - 1))],
+                    axis=0) if pad else a
+
+            if kind == 'u8p':
+                ims_arr, valid = arr
+                dev = jax.device_put(tail_pad(ims_arr), sharding)
+                dev_v = jax.device_put(tail_pad(valid), sharding)
+                if dev_fn_p is None:
+                    dev_fn_p = make_extract_fn(
+                        model, mesh, flip_tta=flip_tta,
+                        device_preproc=(pixel_means, (h, w)),
+                        padded_wire=True)
+                feats = dev_fn_p(params, state, dev, dev_v)
+            elif kind == 'u8':
+                dev = jax.device_put(tail_pad(arr), sharding)
                 if dev_fn is None:
                     dev_fn = make_extract_fn(
                         model, mesh, flip_tta=flip_tta,
                         device_preproc=(pixel_means, (h, w)))
                 feats = dev_fn(params, state, dev)
             else:
+                dev = jax.device_put(tail_pad(arr), sharding)
                 feats = host_fn(params, state, dev)
             if pending is not None:
                 pf, ppad = pending

@@ -53,8 +53,9 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
       distmat_fn: optional callable (q, g) -> distmat to route the distance
         computation through the TPU kernels; defaults to numpy.
       device_single_query: run the single-query block fully on device
-        (evaluation/device_eval.py — distmat + metrics in one jit); the
-        multi-query / re-ranked variants stay on the numpy golden path.
+        (evaluation/device_eval.py — distmat + metrics in one jit) and
+        score the pooled multi-query block with the same on-chip scorer;
+        numpy (metrics.py) remains the golden cross-checked path.
       device_rerank: k-reciprocal re-ranking through the sparse-set XLA
         pipeline (rerank_distmat_jax; handles full Market scale) instead
         of the host C++/numpy paths.
@@ -114,9 +115,18 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
         mq_feat = np.stack([
             pool(feat[mq_inds][grouped[k]], axis=0) for k in mq_keys])
         mq_g_dist = np.asarray(dist_fn(mq_feat, feat[g_inds]))
-        mq_map, mq_cmc = compute_score(
-            mq_g_dist, np.array([k[0] for k in mq_keys]), ids[g_inds],
-            np.array([k[1] for k in mq_keys]), cams[g_inds])
+        if device_single_query:
+            # same on-chip scorer as the single-query block; pooled
+            # multi-query features are just another query set
+            from pps_tpu.evaluation.device_eval import cmc_map_device
+            m, c = cmc_map_device(
+                mq_g_dist, np.array([k[0] for k in mq_keys]), ids[g_inds],
+                np.array([k[1] for k in mq_keys]), cams[g_inds], topk=10)
+            mq_map, mq_cmc = float(m), np.asarray(c)
+        else:
+            mq_map, mq_cmc = compute_score(
+                mq_g_dist, np.array([k[0] for k in mq_keys]), ids[g_inds],
+                np.array([k[1] for k in mq_keys]), cams[g_inds])
         print_scores('Multi Query:', mq_map, mq_cmc)
         results['multi'] = _metric_dict(mq_map, mq_cmc)
 

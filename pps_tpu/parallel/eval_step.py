@@ -15,7 +15,8 @@ import numpy as np
 from pps_tpu.parallel import mesh as mesh_lib
 
 
-def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None):
+def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None,
+                    padded_wire=False):
     """jitted (params, state, images[B,H,W,3]) -> [B, E] embeddings.
 
     flip_tta: average features of the image and its horizontal flip
@@ -24,12 +25,12 @@ def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None):
     raw uint8 decodes and the cast / mean-subtract / cv2-exact bicubic
     resize run fused on device (data/device_preprocess.py) — 4x less H2D
     traffic and no host resize.
+    padded_wire: variable-size form of device_preproc — the jitted fn
+    takes a fourth arg valid_hw [B,2] and the decodes are padded to one
+    dataset-global bucket shape (per-sample resize matrices, see
+    data/device_preprocess.preprocess_on_device_padded).
     """
-    def extract(params, state, images):
-        if device_preproc is not None:
-            from pps_tpu.data.device_preprocess import preprocess_on_device
-            means, out_hw = device_preproc
-            images = preprocess_on_device(images, means, out_hw)
+    def core(params, state, images):
         feats = model.extract_features(params, state, images)
         if flip_tta:
             feats_f = model.extract_features(params, state,
@@ -41,6 +42,28 @@ def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None):
 
     rep = mesh_lib.replicated(mesh)
     bsh = mesh_lib.batch_sharding(mesh, fold_model=True)
+
+    if padded_wire:
+        assert device_preproc is not None
+        means, out_hw = device_preproc
+
+        def extract_padded(params, state, images, valid_hw):
+            from pps_tpu.data.device_preprocess import (
+                preprocess_on_device_padded)
+            x = preprocess_on_device_padded(images, valid_hw, means, out_hw)
+            return core(params, state, x)
+
+        return jax.jit(extract_padded,
+                       in_shardings=(rep, rep, bsh, bsh),
+                       out_shardings=bsh)
+
+    def extract(params, state, images):
+        if device_preproc is not None:
+            from pps_tpu.data.device_preprocess import preprocess_on_device
+            means, out_hw = device_preproc
+            images = preprocess_on_device(images, means, out_hw)
+        return core(params, state, images)
+
     return jax.jit(extract,
                    in_shardings=(rep, rep, bsh),
                    out_shardings=bsh)

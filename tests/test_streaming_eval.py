@@ -84,3 +84,23 @@ def test_streaming_tail_batch_and_tiny_set():
         cfg, model, params, state, roidb, decode_fn=_decode_same,
         streaming=False)
     np.testing.assert_allclose(streamed, resident, atol=1e-6)
+
+
+def test_streaming_padded_wire_mixed_sizes():
+    """Mixed raw sizes WITH roidb height/width metadata: streaming rides
+    the padded device-preproc wire (one bucket shape + valid_hw, one
+    compile) and matches the host-preprocessed resident path."""
+    model, params, state, roidb = _setup()
+    for e in roidb:
+        i = int(e['image'].split('//')[1])
+        h, w = [(64, 24), (50, 20), (72, 30)][i % 3]
+        e['height'], e['width'] = h, w
+    resident = test_lib.extract_dataset_features(
+        cfg, model, params, state, roidb, decode_fn=_decode_mixed,
+        streaming=False)
+    streamed = test_lib.extract_dataset_features(
+        cfg, model, params, state, roidb, decode_fn=_decode_mixed,
+        streaming=True)
+    # device bicubic is cv2-exact to float rounding; embeddings are
+    # L2-normalized, so agreement is tight but not bitwise
+    np.testing.assert_allclose(streamed, resident, atol=5e-4)
