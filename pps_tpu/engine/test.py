@@ -300,6 +300,8 @@ def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
     """The tools/test_net.py driver path (reference test_engine.py:91-143).
     Returns {dataset: results}."""
     weights_file = weights_file or cfg.TEST.WEIGHTS
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     results = {}
     datasets = cfg.TEST.DATASETS
     if isinstance(datasets, str):

@@ -66,6 +66,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     """
     output_dir = output_dir or cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     checkpoints = {}
 
     model, params, state, opt_state, start_epoch, done = create_model(
@@ -128,7 +130,11 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
         logger.info('wrote train_step.jaxpr.txt (%d eqns)',
                     len(jaxpr.jaxpr.eqns))
 
-    with mesh:
+    from concurrent.futures import ThreadPoolExecutor
+    saver = ThreadPoolExecutor(1)  # background checkpoint writer
+    saver_fut = None
+    try:
+      with mesh:
         for ep in range(start_epoch, cfg.SOLVER.MAX_ITER):
             for i, loss_scale, batch in loader.iter_epoch(ep):
                 if profile_dir and global_step == profile_window[0]:
@@ -164,15 +170,34 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
 
             # per-epoch checkpoint (reference train.py:104-112; on
             # alternation epochs the reference `continue`s past the
-            # checkpoint so shortened epochs are never snapshotted)
+            # checkpoint so shortened epochs are never snapshotted).
+            # Written by a single background thread over a DEVICE COPY of
+            # the state: the jitted step donates its input buffers
+            # (TPU.DONATE), so the live pytree is invalidated by the next
+            # step — the copies are never donated, letting the D2H fetch
+            # + pickle overlap the next epoch's compute (the reference
+            # blocked the GPUs for the whole save, utils/net.py:138).
             if ep % snapshot_period == 0 and not sched.is_triplet_epoch(ep):
                 path = os.path.join(output_dir,
                                     'model_epoch{}.pkl'.format(ep + 1))
-                ckpt_lib.save_checkpoint(path, model, train_state['params'],
-                                         train_state['state'],
-                                         opt_state=train_state['opt'],
-                                         cfg=cfg)
+                snap = jax.tree_util.tree_map(jnp.copy, train_state)
+                if saver_fut is not None:
+                    saver_fut.result()  # surface errors; 1 write in flight
+                saver_fut = saver.submit(
+                    ckpt_lib.save_checkpoint, path, model,
+                    snap['params'], snap['state'],
+                    opt_state=snap['opt'], cfg=cfg)
                 checkpoints[ep] = path
+
+    finally:
+        # let an in-flight snapshot finish (it is valid even when the
+        # loop aborts, e.g. on a NaN loss) and reclaim the thread
+        if saver_fut is not None:
+            try:
+                saver_fut.result()
+            except Exception:
+                logger.exception('background checkpoint write failed')
+        saver.shutdown(wait=True)
 
     if profile_dir and profile_window[0] <= global_step < profile_window[1]:
         jax.profiler.stop_trace()  # run ended inside the trace window

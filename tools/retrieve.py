@@ -47,6 +47,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
