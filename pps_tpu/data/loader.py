@@ -33,17 +33,28 @@ class ReIDLoader(object):
         self._cfg = cfg
         self._decode_fn = decode_fn
         self._device_put_fn = device_put_fn
-        self._raw = raw  # uint8 wire for on-device augmentation
-        # variable-size datasets (Duke/CUHK03 raw): pad every decode to a
-        # dataset-global bucket so the wire has ONE static shape (one
-        # train-step compile) instead of falling back to the host chain
-        # per mixed batch; minibatch.py ships valid_hw alongside.
+        # uint8 wire for on-device augmentation.  The wire shape must be
+        # decided ONCE from dataset metadata, never per batch: every
+        # distinct uint8 shape compiles a fresh train-step graph
+        # (25-350 s on TPU), so opportunistic per-batch switching on a
+        # mixed-size set would stall mid-epoch nondeterministically.
+        #   uniform sizes  -> raw wire at that shape
+        #   varying sizes  -> pad every decode to the dataset-global
+        #                     bucket; minibatch.py ships valid_hw
+        #   missing height/width metadata -> host chain (stable graphs)
         self._raw_pad_hw = None
         if raw:
             sizes = {(e.get('height'), e.get('width')) for e in roidb}
-            if len(sizes) > 1 and all(None not in s for s in sizes):
-                self._raw_pad_hw = (max(h for h, _ in sizes),
-                                    max(w for _, w in sizes))
+            if not sizes or any(None in s for s in sizes):
+                if sizes:
+                    logger.warning(
+                        'roidb lacks height/width metadata; disabling the '
+                        'uint8 device-augment wire (host chain instead)')
+                    raw = False
+            elif len(sizes) > 1:
+                self._raw_pad_hw = (max(s[0] for s in sizes),
+                                    max(s[1] for s in sizes))
+        self._raw = raw
         self._prefetch = prefetch
         self._num_workers = num_workers
         seed = cfg.RNG_SEED if seed is None else seed

@@ -28,7 +28,7 @@ from pps_tpu.utils.timer import Timer
 logger = logging.getLogger(__name__)
 
 
-def preprocess_images(roidb, cfg, decode_fn=None, num_workers=8):
+def preprocess_images(roidb, cfg, decode_fn=None, num_workers=2):
     """Decode + resize the full test set to a [N, H, W, 3] stack
     (reference core/test.py:970-979, but parallel: cv2 decode/resize
     release the GIL, so a thread pool scales on host cores)."""
@@ -51,7 +51,7 @@ def preprocess_images(roidb, cfg, decode_fn=None, num_workers=8):
     return out
 
 
-def decode_uint8_stack(roidb, decode_fn=None, num_workers=8):
+def decode_uint8_stack(roidb, decode_fn=None, num_workers=2):
     """Decode the whole set to one uint8 stack, or None when image sizes
     differ (the device-preproc fast path needs a static input shape)."""
     from concurrent.futures import ThreadPoolExecutor
@@ -65,7 +65,7 @@ def decode_uint8_stack(roidb, decode_fn=None, num_workers=8):
 
 def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
                    decode_fn=None, flip_tta=False, device_preproc=True,
-                   num_workers=4, prefetch=3):
+                   num_workers=2, prefetch=3):
     """Streaming extraction: decode -> preprocess -> H2D -> extract with
     O(prefetch x batch) host memory instead of decoding the whole test set
     to one resident stack (VERDICT round-1 weak #6: Market's 19.7k images
@@ -102,6 +102,8 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
         if len(sizes) > 1 and all(None not in s for s in sizes):
             pad_hw = (max(s[0] for s in sizes), max(s[1] for s in sizes))
 
+    u8_shape = []  # first uniform raw shape seen; pins the u8 graph
+
     def prep(start):
         entries = roidb[start:start + batch_size]
         ims = [decode_fn(e['image']) for e in entries]
@@ -116,7 +118,14 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
             valid = np.asarray([im.shape[:2] for im in ims], np.int32)
             return 'u8p', (padded, valid), real
         if device_preproc and all(im.shape == ims[0].shape for im in ims):
-            return 'u8', np.stack(ims), real
+            # only ONE uint8 wire shape per run: a metadata-less mixed
+            # set could otherwise compile a fresh extraction graph for
+            # every shape a batch happens to agree on (list append is
+            # GIL-atomic; a racing second shape just costs one compile)
+            if not u8_shape:
+                u8_shape.append(ims[0].shape)
+            if ims[0].shape == u8_shape[0]:
+                return 'u8', np.stack(ims), real
         out = np.empty((real, h, w, 3), np.float32)
         for i, im in enumerate(ims):
             out[i] = transforms.prep_im_for_blob(im, pixel_means, (w, h))

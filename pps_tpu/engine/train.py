@@ -10,6 +10,7 @@ logging.
 
 import logging
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -191,11 +192,18 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
 
     finally:
         # let an in-flight snapshot finish (it is valid even when the
-        # loop aborts, e.g. on a NaN loss) and reclaim the thread
+        # loop aborts, e.g. on a NaN loss) and reclaim the thread.  A
+        # failed write is fatal on the normal path (the checkpoint dict
+        # must not name files that were never written); when the loop is
+        # already unwinding with its own exception, log it instead of
+        # masking the root cause.
         if saver_fut is not None:
             try:
                 saver_fut.result()
             except Exception:
+                saver.shutdown(wait=True)
+                if sys.exc_info()[0] is None:
+                    raise
                 logger.exception('background checkpoint write failed')
         saver.shutdown(wait=True)
 

@@ -146,11 +146,11 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
                                       cams[g_inds], topk=10)
                 return float(m), np.asarray(c)
 
+            g_g_dist = dist_fn(feat[g_inds], feat[g_inds])  # shared below
             rr_map, rr_cmc = rerank_score(
                 dist_fn(feat[q_inds], feat[g_inds]),
                 dist_fn(feat[q_inds], feat[q_inds]),
-                dist_fn(feat[g_inds], feat[g_inds]),
-                ids[q_inds], cams[q_inds])
+                g_g_dist, ids[q_inds], cams[q_inds])
         else:
             if q_g_dist is None:  # device path skipped the host distmat
                 q_g_dist = np.asarray(dist_fn(feat[q_inds], feat[g_inds]))
@@ -171,10 +171,8 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
             mq_cams_p = np.array([k[1] for k in mq_keys])
             if device_rerank:
                 rr_mq_map, rr_mq_cmc = rerank_score(
-                    dist_fn(mq_feat, feat[g_inds]),
-                    dist_fn(mq_feat, mq_feat),
-                    dist_fn(feat[g_inds], feat[g_inds]),
-                    mq_ids_p, mq_cams_p)
+                    mq_g_dist, dist_fn(mq_feat, mq_feat),
+                    g_g_dist, mq_ids_p, mq_cams_p)
             else:
                 mq_mq_dist = np.asarray(dist_fn(mq_feat, mq_feat))
                 rr_mq = rerank_fn(mq_g_dist, mq_mq_dist, g_g_dist)

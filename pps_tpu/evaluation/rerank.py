@@ -96,9 +96,16 @@ def _rerank_stages(n, query_num, k1, k2, lambda_value):
     import jax.numpy as jnp
 
     half = int(np.around(k1 / 2.0))
-    k1p, hp = k1 + 1, half + 1
+    # clamp the neighborhood sizes to the set size (the numpy reference's
+    # initial_rank[:, :k] slices clamp silently on tiny sets; top_k would
+    # raise instead) and rank enough columns for BOTH the k-reciprocal
+    # sets and the k2 local-query expansion (k2 may exceed k1+1)
+    k1p = min(k1 + 1, n)
+    hp = min(half + 1, k1p)
+    k2c = min(k2, n)
+    kmax = max(k1p, k2c)
     s0 = k1p + k1p * hp               # max expansion-set slots per row
-    s_q = min(n, s0 * (k2 if k2 != 1 else 1))
+    s_q = min(n, s0 * k2c)
 
     @jax.jit
     def build_od(qg, qq, gg):
@@ -110,23 +117,24 @@ def _rerank_stages(n, query_num, k1, k2, lambda_value):
 
     @jax.jit
     def neighbor_sets(od):
-        # t1[i]: the k1+1 nearest rows (self included, ascending; the
-        # initial_rank[:, :k1+1] prefix of the reference argsort)
-        _, t1 = jax.lax.top_k(-od, k1p)
-        t1 = t1.astype(jnp.int32)
+        # tk[i]: the kmax nearest rows (self included, ascending; the
+        # initial_rank[:, :kmax] prefix of the reference argsort — kmax
+        # covers both the k1+1 reciprocal prefix and the k2 expansion)
+        _, tk = jax.lax.top_k(-od, kmax)
+        tk = tk.astype(jnp.int32)
 
         def recip(k):
-            fwd = t1[:, :k]                       # [N, k]
-            back = t1[fwd, :k]                    # [N, k, k]
+            fwd = tk[:, :k]                       # [N, k]
+            back = tk[fwd, :k]                    # [N, k, k]
             i = jnp.arange(n, dtype=jnp.int32)[:, None, None]
             return jnp.any(back == i, axis=-1)    # [N, k]
 
-        return t1, recip(k1p), recip(hp)
+        return tk, recip(k1p), recip(hp)
 
     @jax.jit
-    def build_V(od, t1, base_valid, half_valid):
-        base_idx = t1                              # [N, K1]
-        half_idx = t1[:, :hp]                      # [N, H1]
+    def build_V(od, tk, base_valid, half_valid):
+        base_idx = tk[:, :k1p]                     # [N, K1]
+        half_idx = tk[:, :hp]                      # [N, H1]
         # candidate c = base_idx[i, s]; its half-k-reciprocal set is
         # accepted when |R(c, half) & R(i, k1)| > 2/3 |R(c, half)|
         ch_idx = half_idx[base_idx]                # [N, K1, H1]
@@ -211,12 +219,12 @@ def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
         _rerank_stages(n, query_num, int(k1), int(k2), float(lambda_value))
 
     od = build_od(q_g_dist, q_q_dist, g_g_dist)
-    t1, base_valid, half_valid = neighbor_sets(od)
-    V = build_V(od, t1, base_valid, half_valid)
+    tk, base_valid, half_valid = neighbor_sets(od)
+    V = build_V(od, tk, base_valid, half_valid)
     od_q = jax.device_put(od[:query_num]).block_until_ready()
     del od
     if k2 != 1:
-        V = expand_V(V, t1[:, :k2])
+        V = expand_V(V, tk[:, :min(int(k2), n)])
     Vt = jax.jit(lambda v: v.T)(V)
     Vq = jax.device_put(V[:query_num]).block_until_ready()
     del V

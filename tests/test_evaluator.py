@@ -130,6 +130,33 @@ def test_rerank_jax_matches_numpy_default_params(rng_np):
     np.testing.assert_allclose(got1, want1, atol=2e-4)
 
 
+def test_rerank_jax_tiny_set_and_large_k2(rng_np):
+    """Regression: (a) sets smaller than k1+1 must not crash top_k (the
+    numpy argsort slices clamp silently — default TPU eval on a smoke
+    dataset); (b) k2 > k1+1 expands over the k2 nearest from the FULL
+    rank, like numpy initial_rank[:, :k2]."""
+    feat, ids = _clustered_features(rng_np, 4, 3, dim=8, noise=0.3)
+    nq = 4
+    q, g = feat[:nq], feat[nq:]
+    qg = metrics.compute_dist(q, g)
+    qq = metrics.compute_dist(q, q)
+    gg = metrics.compute_dist(g, g)
+    # 12 total images < k1+1=21
+    want = re_ranking(qg, qq, gg)
+    got = np.asarray(rerank_distmat_jax(qg, qq, gg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    feat, ids = _clustered_features(rng_np, 12, 6, dim=16, noise=0.35)
+    nq = 12
+    q, g = feat[:nq], feat[nq:]
+    qg = metrics.compute_dist(q, g)
+    qq = metrics.compute_dist(q, q)
+    gg = metrics.compute_dist(g, g)
+    want = re_ranking(qg, qq, gg, k1=5, k2=10)
+    got = np.asarray(rerank_distmat_jax(qg, qq, gg, k1=5, k2=10))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_parse_im_name():
     assert parse_im_name('00000042_0003_00000007.jpg', 'id') == 42
     assert parse_im_name('00000042_0003_00000007.jpg', 'cam') == 3
