@@ -23,22 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def make_dataset(root, n_ids=751, per_id=12, hw=(128, 64), seed=0):
+def make_dataset(root, n_ids=751, per_id=12, hw=(128, 64), seed=0,
+                 mixed=False):
     import cv2
     import json
     imdir = os.path.join(root, 'images')
     os.makedirs(imdir, exist_ok=True)
     rng = np.random.RandomState(seed)
+    # mixed: Duke/CUHK03-style non-uniform decode sizes -> exercises the
+    # reflect-padded bucket + valid_hw wire end-to-end
+    size_table = [hw, (hw[0] - 24, hw[1] - 12), (hw[0] - 48, hw[1] - 20)]
     images, anns = [], []
     iid = 0
     for pid in range(1, n_ids + 1):
         for j in range(per_id):
             iid += 1
             name = '{:08d}_{:04d}_{:08d}.jpg'.format(pid, j % 6 + 1, iid)
-            im = rng.randint(0, 256, hw + (3,), dtype=np.uint8)
+            shw = size_table[iid % 3] if mixed else hw
+            im = rng.randint(0, 256, shw + (3,), dtype=np.uint8)
             cv2.imwrite(os.path.join(imdir, name), im)
             images.append({'id': iid, 'file_name': name,
-                           'height': hw[0], 'width': hw[1]})
+                           'height': shw[0], 'width': shw[1]})
             anns.append({'id': iid, 'image_id': iid, 'category_id': pid,
                          'mark': 1})
     ann_fn = os.path.join(root, 'trainval.json')
@@ -55,6 +60,8 @@ def main():
     ap.add_argument('--per-id', type=int, default=12)
     ap.add_argument('--epochs', type=int, default=2)
     ap.add_argument('--device-augment', default='True')
+    ap.add_argument('--mixed-sizes', action='store_true',
+                    help='non-uniform decode sizes (padded-bucket wire)')
     ap.add_argument('--workers', type=int, default=2)
     ap.add_argument('--data-dir', default=None)
     args = ap.parse_args()
@@ -65,7 +72,8 @@ def main():
     root = args.data_dir or tempfile.mkdtemp(prefix='pps_e2e_')
     if not os.path.exists(os.path.join(root, 'trainval.json')):
         print('writing synthetic dataset to %s ...' % root, flush=True)
-        make_dataset(root, args.n_ids, args.per_id)
+        make_dataset(root, args.n_ids, args.per_id,
+                     mixed=args.mixed_sizes)
     from pps_tpu.data.catalog import register_dataset
     register_dataset('synth_e2e_trainval', os.path.join(root, 'images'),
                      os.path.join(root, 'trainval.json'))
