@@ -21,6 +21,7 @@ from pps_tpu.engine import checkpoint as ckpt_lib
 from pps_tpu.evaluation import evaluator as eval_lib
 from pps_tpu.models.model import build_model
 from pps_tpu.parallel import mesh as mesh_lib
+from pps_tpu.parallel import eval_step as eval_step_lib
 from pps_tpu.parallel.eval_step import make_extract_fn, extract_features
 from pps_tpu.utils.io import save_object
 from pps_tpu.utils.timer import Timer
@@ -153,8 +154,10 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
 
             if kind == 'u8p':
                 ims_arr, valid = arr
-                dev = jax.device_put(tail_pad(ims_arr), sharding)
-                dev_v = jax.device_put(tail_pad(valid), sharding)
+                dev = eval_step_lib.put_global_batch(
+                    sharding, tail_pad(ims_arr))
+                dev_v = eval_step_lib.put_global_batch(
+                    sharding, tail_pad(valid))
                 if dev_fn_p is None:
                     dev_fn_p = make_extract_fn(
                         model, mesh, flip_tta=flip_tta,
@@ -162,22 +165,22 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
                         padded_wire=True)
                 feats = dev_fn_p(params, state, dev, dev_v)
             elif kind == 'u8':
-                dev = jax.device_put(tail_pad(arr), sharding)
+                dev = eval_step_lib.put_global_batch(sharding, tail_pad(arr))
                 if dev_fn is None:
                     dev_fn = make_extract_fn(
                         model, mesh, flip_tta=flip_tta,
                         device_preproc=(pixel_means, (h, w)))
                 feats = dev_fn(params, state, dev)
             else:
-                dev = jax.device_put(tail_pad(arr), sharding)
+                dev = eval_step_lib.put_global_batch(sharding, tail_pad(arr))
                 feats = host_fn(params, state, dev)
             if pending is not None:
                 pf, ppad = pending
-                out.append(np.asarray(pf)[:batch_size - ppad])
+                out.append(eval_step_lib.fetch_global(pf)[:batch_size - ppad])
             pending = (feats, pad)
     if pending is not None:
         pf, ppad = pending
-        out.append(np.asarray(pf)[:batch_size - ppad])
+        out.append(eval_step_lib.fetch_global(pf)[:batch_size - ppad])
     return (np.concatenate(out, axis=0) if out
             else np.zeros((0, model.embedding_dim), np.float32))
 

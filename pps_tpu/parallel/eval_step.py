@@ -69,6 +69,31 @@ def make_extract_fn(model, mesh, flip_tta=False, device_preproc=None,
                    out_shardings=bsh)
 
 
+def put_global_batch(sharding, arr):
+    """[B, ...] host array -> device array with the batch sharding.
+
+    Multi-host (DCN mesh under jax.distributed): every process passes the
+    same globally-indexed array; each transfers only its own rows and the
+    pieces assemble into one global array — the eval-side counterpart of
+    train_step.shard_batch (the reference's multi-GPU eval was subprocess
+    range-sharding + pickle merges on one machine, test_engine.py:184-229).
+    """
+    if jax.process_count() > 1:
+        rows = arr.shape[0] // jax.process_count()
+        local = arr[jax.process_index() * rows:][:rows]
+        return jax.make_array_from_process_local_data(sharding, local)
+    return jax.device_put(arr, sharding)
+
+
+def fetch_global(x):
+    """Device array (possibly globally sharded) -> full numpy on every
+    host.  A collective on multi-host — call in deterministic order."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def extract_features(extract_fn, params, state, images, batch_size,
                      n_devices=1, mesh=None):
     """Drive extraction over a numpy image stack [N,H,W,3] with padding.
@@ -78,6 +103,9 @@ def extract_features(extract_fn, params, state, images, batch_size,
     pipelined: the next batch's H2D copy is issued before blocking on the
     current result (the BlobsQueue prefetch analog, reference
     roi_data/loader.py:256-279), so a slow host link overlaps compute.
+    Works under a multi-host mesh: every process drives the same loop over
+    the same image stack; transfers and result fetches go through
+    put_global_batch / fetch_global.
     """
     n = images.shape[0]
     assert batch_size % n_devices == 0
@@ -88,8 +116,9 @@ def extract_features(extract_fn, params, state, images, batch_size,
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate(
-                [chunk, np.tile(chunk[-1:], (pad, 1, 1, 1))], axis=0)
-        dev = jax.device_put(chunk, sharding)
+                [chunk, np.tile(chunk[-1:],
+                                (pad,) + (1,) * (chunk.ndim - 1))], axis=0)
+        dev = put_global_batch(sharding, chunk)
         return dev, pad
 
     starts = list(range(0, n, batch_size))
@@ -103,9 +132,9 @@ def extract_features(extract_fn, params, state, images, batch_size,
             next_dev = put(starts[i + 1])       # overlap H2D with compute
         if pending is not None:
             pf, ppad = pending
-            out.append(np.asarray(pf)[:batch_size - ppad])
+            out.append(fetch_global(pf)[:batch_size - ppad])
         pending = (feats, pad)
     if pending is not None:
         pf, ppad = pending
-        out.append(np.asarray(pf)[:batch_size - ppad])
+        out.append(fetch_global(pf)[:batch_size - ppad])
     return np.concatenate(out, axis=0) if out else np.zeros((0,))

@@ -61,6 +61,23 @@ def main():
     np.testing.assert_allclose(float(val), want_val, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(jax.device_get(grad)), want_grad, rtol=1e-6)
+
+    # eval-side counterpart: batched extraction over the mesh — every
+    # process drives the same loop, put_global_batch transfers only its
+    # rows, fetch_global allgathers identical full features everywhere
+    # (parallel/eval_step.py; replaces the reference's subprocess range
+    # sharding, test_engine.py:184-229)
+    from pps_tpu.parallel import eval_step as es
+    rep = mesh_lib.replicated(mesh)
+    bsh = mesh_lib.batch_sharding(mesh, fold_model=True)
+    proj = jax.device_put(np.eye(4, 3, dtype=np.float32), rep)
+    fn = jax.jit(lambda p, s, x: x @ p,
+                 in_shardings=(rep, rep, bsh), out_shardings=bsh)
+    images = np.arange(21 * 4, dtype=np.float32).reshape(21, 4)
+    with mesh:
+        feats = es.extract_features(fn, proj, None, images,
+                                    batch_size=16, n_devices=8, mesh=mesh)
+    np.testing.assert_allclose(feats, images @ np.eye(4, 3), rtol=1e-6)
     print('MULTIHOST_OK pid=%d val=%.6f' % (pid, float(val)), flush=True)
 
 
