@@ -232,6 +232,13 @@ __C.TPU.STREAMING_EVAL = True
 # minutes in the numpy per-query loops).  Multi-query and re-ranked
 # variants keep the numpy path (golden reference, cross-checked in tests).
 __C.TPU.DEVICE_EVAL = True
+# Epoch-snapshot checkpoint format: 'pkl' (reference-interop blob pickle,
+# written by a background thread) or 'orbax' (native sharded pytree
+# directories — each host writes only its own shards, async streaming
+# writes; the production multi-host format).  model_final.pkl is always
+# written as a pkl for reference interop, and the pkl converter functions
+# remain available in either mode (engine/checkpoint.py).
+__C.TPU.CKPT_FORMAT = 'pkl'
 # Rematerialize the conv body in the backward pass (jax.checkpoint): trades
 # ~2x backbone forward FLOPs for not storing its activations — the memonger
 # analog (reference utils/train.py:196-207) for large-batch training.

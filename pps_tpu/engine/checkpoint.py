@@ -229,13 +229,82 @@ def load_checkpoint(path, model, params, state, opt_state=None):
     return params, state, opt_state
 
 
-_EPOCH_RE = re.compile(r'^model_epoch(\d+)\.pkl$')
+# ---------------------------------------------------------------------------
+# orbax backend (TPU-native sharded checkpoints; TPU.CKPT_FORMAT = 'orbax')
+# ---------------------------------------------------------------------------
+#
+# The pkl format above is the reference-interop contract (one host pickles
+# one blob dict).  At production scale that is the wrong shape: every host
+# would materialize the full f32 state, and writes block the device loop.
+# The orbax backend saves the NATIVE pytree ({'params', 'state', 'opt'})
+# with its device shardings — each host writes only its own shards
+# (multi-host correct by construction), restores re-shard on load, and the
+# pkl converter path (save/load_checkpoint) remains available for moving
+# weights to/from the reference ecosystem.  Survey section 5 prescribed
+# exactly this split ("orbax checkpoints + a pkl->jax converter").
+
+
+def save_checkpoint_orbax(path, train_state, cfg=None):
+    """Write {'params','state','opt'} to an orbax directory at `path`.
+
+    The save is ASYNC (orbax streams D2H + disk in background threads);
+    call `wait_for_orbax()` or save again (which waits on the previous
+    write) before reading the directory.
+    """
+    import orbax.checkpoint as ocp
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()  # one async write in flight at a time
+    ckptr.save(os.path.abspath(path), dict(train_state), force=True)
+    if cfg is not None:
+        with open(os.path.abspath(path) + '.cfg.yaml', 'w') as f:
+            f.write(yaml.dump(_plain(dict(cfg))))
+    logger.info('Writing orbax checkpoint: %s (async)', path)
+
+
+def load_checkpoint_orbax(path, train_state=None):
+    """Restore an orbax checkpoint.  With `train_state` (a real or
+    abstract template matching the saved {'params','state','opt'}
+    structure) the restore re-shards onto the template's placements;
+    without one, the saved structure is restored as-is (single-host
+    loads, e.g. eval picking just params/state).  Returns the tree."""
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()
+    if train_state is None:
+        out = ckptr.restore(os.path.abspath(path))
+    else:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          dict(train_state))
+        out = ckptr.restore(os.path.abspath(path), abstract)
+    logger.info('Restored orbax checkpoint: %s', path)
+    return out
+
+
+_ORBAX_CKPTR = []
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+    if not _ORBAX_CKPTR:
+        _ORBAX_CKPTR.append(ocp.StandardCheckpointer())
+    return _ORBAX_CKPTR[0]
+
+
+def wait_for_orbax():
+    """Block until any in-flight async orbax save has committed."""
+    if _ORBAX_CKPTR:
+        _ORBAX_CKPTR[0].wait_until_finished()
+
+
+_EPOCH_RE = re.compile(r'^model_epoch(\d+)\.(pkl|orbax)$')
 
 
 def find_resume_checkpoint(output_dir):
     """Auto-resume scan (reference utils/train.py:146-185): returns
-    (path, epoch) of the newest ``model_epoch{N}.pkl``; ``model_final.pkl``
-    wins with epoch = -1 meaning training is complete."""
+    (path, epoch) of the newest ``model_epoch{N}.pkl`` (or ``.orbax``
+    directory); ``model_final.pkl`` wins with epoch = -1 meaning training
+    is complete."""
     final = os.path.join(output_dir, 'model_final.pkl')
     if os.path.exists(final):
         return final, -1

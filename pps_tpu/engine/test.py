@@ -250,8 +250,12 @@ def test_net(cfg, weights_file, dataset_name, output_dir=None,
     import jax
     params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
     if weights_file:
-        params, state, _ = ckpt_lib.load_checkpoint(
-            weights_file, model, params, state)
+        if str(weights_file).endswith('.orbax'):
+            ts = ckpt_lib.load_checkpoint_orbax(weights_file)
+            params, state = ts['params'], ts['state']
+        else:
+            params, state, _ = ckpt_lib.load_checkpoint(
+                weights_file, model, params, state)
     roidb = roidb_for_test(dataset_name)
     feats = extract_dataset_features(cfg, model, params, state, roidb,
                                      decode_fn=decode_fn)

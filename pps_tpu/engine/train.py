@@ -48,8 +48,15 @@ def create_model(cfg, output_dir):
         path, epoch = ckpt_lib.find_resume_checkpoint(output_dir)
         if path is not None:
             logger.info('Auto-resuming from %s (epoch %d)', path, epoch)
-            params, state, opt_state = ckpt_lib.load_checkpoint(
-                path, model, params, state, opt_state=opt_state)
+            if path.endswith('.orbax'):
+                ts = ckpt_lib.load_checkpoint_orbax(
+                    path, {'params': params, 'state': state,
+                           'opt': opt_state})
+                params, state, opt_state = (ts['params'], ts['state'],
+                                            ts['opt'])
+            else:
+                params, state, opt_state = ckpt_lib.load_checkpoint(
+                    path, model, params, state, opt_state=opt_state)
             start_epoch = epoch
     if start_epoch == 0 and cfg.TRAIN.WEIGHTS:
         logger.info('Bootstrapping weights from %s', cfg.TRAIN.WEIGHTS)
@@ -179,15 +186,24 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
             # + pickle overlap the next epoch's compute (the reference
             # blocked the GPUs for the whole save, utils/net.py:138).
             if ep % snapshot_period == 0 and not sched.is_triplet_epoch(ep):
-                path = os.path.join(output_dir,
-                                    'model_epoch{}.pkl'.format(ep + 1))
-                snap = jax.tree_util.tree_map(jnp.copy, train_state)
-                if saver_fut is not None:
-                    saver_fut.result()  # surface errors; 1 write in flight
-                saver_fut = saver.submit(
-                    ckpt_lib.save_checkpoint, path, model,
-                    snap['params'], snap['state'],
-                    opt_state=snap['opt'], cfg=cfg)
+                if cfg.TPU.CKPT_FORMAT == 'orbax':
+                    # native sharded format: orbax's async save copies
+                    # D2H synchronously (donation-safe) and streams the
+                    # write in its own background threads
+                    path = os.path.join(
+                        output_dir, 'model_epoch{}.orbax'.format(ep + 1))
+                    ckpt_lib.save_checkpoint_orbax(path, train_state,
+                                                   cfg=cfg)
+                else:
+                    path = os.path.join(
+                        output_dir, 'model_epoch{}.pkl'.format(ep + 1))
+                    snap = jax.tree_util.tree_map(jnp.copy, train_state)
+                    if saver_fut is not None:
+                        saver_fut.result()  # surface errors; 1 in flight
+                    saver_fut = saver.submit(
+                        ckpt_lib.save_checkpoint, path, model,
+                        snap['params'], snap['state'],
+                        opt_state=snap['opt'], cfg=cfg)
                 checkpoints[ep] = path
 
     finally:
@@ -210,6 +226,9 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     if profile_dir and profile_window[0] <= global_step < profile_window[1]:
         jax.profiler.stop_trace()  # run ended inside the trace window
 
+    # model_final stays a reference-interop pkl in every format (it is
+    # also the training-complete marker the auto-resume contract checks)
+    ckpt_lib.wait_for_orbax()
     final_path = os.path.join(output_dir, 'model_final.pkl')
     ckpt_lib.save_checkpoint(final_path, model, train_state['params'],
                              train_state['state'],

