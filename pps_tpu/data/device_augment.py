@@ -241,7 +241,7 @@ def sample_params(key, spec, batch, raw_hw):
     size — draws then scale per sample, matching what the host chain
     would draw for that image's true size)."""
     in_h, in_w = raw_hw
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 18)
     p = {}
 
     # random_crop (reid.py:249-268)
@@ -318,9 +318,10 @@ def sample_params(key, spec, batch, raw_hw):
         eh = pick(eh)
         ew = pick(ew)
         on = (fire[:, 0] & valid.any(axis=1))
-        k1, k2 = jax.random.split(ks[13])  # independent of the fire draw
-        ex = _randint(k1, (batch,), 0, ch - eh + 1)  # row in crop coords
-        ey = _randint(k2, (batch,), 0, cw - ew + 1)  # col in crop coords
+        # ks[16]/ks[17]: fresh keys — splitting ks[13] again would reuse
+        # the counters that produced the fire draw (key-reuse correlation)
+        ex = _randint(ks[16], (batch,), 0, ch - eh + 1)  # row, crop coords
+        ey = _randint(ks[17], (batch,), 0, cw - ew + 1)  # col, crop coords
         p.update(erase_on=on, er_y=y0 + ex, er_x=x0 + ey,
                  er_h=eh, er_w=ew)
     return p

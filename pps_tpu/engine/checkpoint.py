@@ -77,6 +77,11 @@ def params_to_blobs(model, params, state=None):
         elif name.endswith('_w') and a.ndim == 4:
             blobs[name] = np.ascontiguousarray(
                 a.transpose(3, 2, 0, 1))  # HWIO -> OIHW
+        elif (name.endswith('_w') and a.ndim == 2
+              and name.startswith('fpn_')):
+            # FPN 1x1 convs are [C_in, C_out] einsum weights here; the
+            # reference stores them as [C_out, C_in, 1, 1] conv blobs
+            blobs[name] = np.ascontiguousarray(a.T)[:, :, None, None]
         else:
             blobs[name] = a
     for key, r, c2_name, kind in _head_entries(model):
@@ -153,6 +158,10 @@ def blobs_to_params(model, blobs, params, state):
             p = np.asarray(params[c2_name])
             if p.ndim == 4 and c2_name.endswith('_w'):
                 arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            elif (p.ndim == 2 and arr.ndim == 4
+                  and c2_name.endswith('_w')
+                  and c2_name.startswith('fpn_')):
+                arr = arr[:, :, 0, 0].T  # [C_out,C_in,1,1] -> [C_in,C_out]
             _try_set(params, c2_name, arr)
             matched.add(c2_name)
         elif c2_name in state:

@@ -221,7 +221,13 @@ def extract_dataset_features(cfg, model, params, state, roidb,
     images = None
     preproc = None
     if device_preproc:
-        images = decode_uint8_stack(roidb, decode_fn=decode_fn)
+        # don't decode the whole set just to discover it is mixed-size
+        # (decoding dominates on few-core hosts): metadata rules it out
+        sizes = {(e.get('height'), e.get('width')) for e in roidb}
+        meta_mixed = (len(sizes) > 1
+                      and all(None not in s for s in sizes))
+        if not meta_mixed:
+            images = decode_uint8_stack(roidb, decode_fn=decode_fn)
         if images is not None:
             w, h = cfg.REID.SCALE
             preproc = (np.asarray(cfg.PIXEL_MEANS), (h, w))

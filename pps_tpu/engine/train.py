@@ -108,7 +108,11 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
 
     train_state = ts_lib.place_train_state(
         mesh, {'params': params, 'state': state, 'opt': opt_state})
-    rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
+    # per-step PRNG = fold_in(base, global_step): a pure function of the
+    # step index, so an auto-resumed run continues the exact augmentation/
+    # dropout stream of a continuous run (sequential splitting would
+    # restart the stream from the base key at every resume)
+    base_rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
     cur_lr = None
     global_step = sched.steps_before_epoch(start_epoch)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS)
@@ -154,14 +158,16 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                     cfg, sched.lr_iter(ep, i), ep, sched.ipe))
                 if cur_lr is not None and cur_lr != lr:
                     ratio = opt_lib.get_lr_change_ratio(cur_lr, lr)
-                    if ratio > cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD:
+                    # reference guard detector.py:535: flag + tiny-LR floor
+                    if (cfg.SOLVER.SCALE_MOMENTUM and cur_lr > 1e-7 and
+                            ratio > cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD):
                         logger.info('LR change %.6f -> %.6f; scaling '
                                     'update history by %.6f',
                                     cur_lr, lr, lr / cur_lr)
                         train_state['opt'] = opt_lib.correct_momentum(
                             train_state['opt'], lr / cur_lr)
                 cur_lr = lr
-                rng, step_rng = jax.random.split(rng)
+                step_rng = jax.random.fold_in(base_rng, global_step)
                 train_state, logs = step_fn(
                     train_state, batch, jnp.float32(lr),
                     jnp.float32(loss_scale), step_rng)
@@ -212,19 +218,27 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
         # failed write is fatal on the normal path (the checkpoint dict
         # must not name files that were never written); when the loop is
         # already unwinding with its own exception, log it instead of
-        # masking the root cause.
+        # masking the root cause.  NB the unwinding check must happen
+        # BEFORE calling result() — inside its except clause,
+        # sys.exc_info() reports the caught saver error, not the outer
+        # state.
+        unwinding = sys.exc_info()[0] is not None
         if saver_fut is not None:
             try:
                 saver_fut.result()
             except Exception:
                 saver.shutdown(wait=True)
-                if sys.exc_info()[0] is None:
+                if not unwinding:
                     raise
                 logger.exception('background checkpoint write failed')
         saver.shutdown(wait=True)
-
-    if profile_dir and profile_window[0] <= global_step < profile_window[1]:
-        jax.profiler.stop_trace()  # run ended inside the trace window
+        if (profile_dir and
+                profile_window[0] <= global_step <= profile_window[1]):
+            # run ended (or aborted) inside/at the end of the trace window
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass  # no trace active (stopped at window end already)
 
     # model_final stays a reference-interop pkl in every format (it is
     # also the training-complete marker the auto-resume contract checks)

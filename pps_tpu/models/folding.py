@@ -31,10 +31,12 @@ def fold_conv_bn(params, state):
         if bn + '_s' not in params or bn + '_rm' not in state:
             continue
         w = params[name]
-        if w.ndim != 4:
-            continue
+        if w.ndim not in (2, 4):
+            continue  # stacked head convs pair with differently-named BN
         inv = params[bn + '_s'] / jnp.sqrt(state[bn + '_riv'] + BN_EPSILON)
-        folded[name] = w * inv  # broadcasts over the out dim of HWIO
+        # broadcasts over the out dim: HWIO 4-D convs and [C_in, C_out]
+        # 2-D FPN einsum weights both keep C_out last
+        folded[name] = w * inv
         fb = params[bn + '_b'] - state[bn + '_rm'] * inv
         if base + '_b' in params:  # FPN convs carry a conv bias too
             fb = fb + params[base + '_b'] * inv

@@ -112,6 +112,9 @@ def _conv1x1_bn_relu(params, state, updates, name, x, train, spec=None):
     w = params[name + '_w']
     y = jnp.einsum('bhwc,cd->bhwd', x.astype(jnp.float32), w,
                    preferred_element_type=jnp.float32)
+    if not train and (name + '_fb') in params:
+        # BN pre-folded into the conv (models/folding.py): bias only
+        return jax.nn.relu(y + params[name + '_fb'])
     y = y + params[name + '_b']
     if spec is not None and spec.get('use_gn'):
         b, h, wd, c = y.shape

@@ -123,16 +123,10 @@ def head_spec(cfg, spatial_scale, fpn_level=None):
 
 def _get_group_gn(cfg, dim):
     """Number of GroupNorm groups for `dim` channels
-    (reference utils/net.py:291-305)."""
-    dim_per_gp = cfg.GROUP_NORM.DIM_PER_GP
-    num_groups = cfg.GROUP_NORM.NUM_GROUPS
-    assert dim_per_gp == -1 or num_groups == -1, \
-        'GroupNorm: can only specify G or C/G.'
-    if dim_per_gp > 0:
-        assert dim % dim_per_gp == 0
-        return dim // dim_per_gp
-    assert dim % num_groups == 0
-    return num_groups
+    (reference utils/net.py:291-305; shared impl in models/resnet.py)."""
+    from pps_tpu.models.resnet import get_group_gn
+    return get_group_gn(dim, cfg.GROUP_NORM.DIM_PER_GP,
+                        cfg.GROUP_NORM.NUM_GROUPS)
 
 
 def combo_masks(spec):

@@ -79,10 +79,9 @@ def resnet_spec(cfg, depth=50):
     return spec
 
 
-def _gn_groups(spec, dim):
-    """get_group_gn (reference utils/net.py:291-305)."""
-    dim_per_gp = spec['gn_dim_per_gp']
-    num_groups = spec['gn_num_groups']
+def get_group_gn(dim, dim_per_gp, num_groups):
+    """Number of GroupNorm groups for `dim` channels (reference
+    utils/net.py:291-305) — the single implementation; heads/fpn wrap it."""
     assert dim_per_gp == -1 or num_groups == -1, \
         'GroupNorm: can only specify G or C/G.'
     if dim_per_gp > 0:
@@ -90,6 +89,10 @@ def _gn_groups(spec, dim):
         return dim // dim_per_gp
     assert dim % num_groups == 0
     return num_groups
+
+
+def _gn_groups(spec, dim):
+    return get_group_gn(dim, spec['gn_dim_per_gp'], spec['gn_num_groups'])
 
 
 # ---------------------------------------------------------------------------

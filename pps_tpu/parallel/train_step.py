@@ -46,7 +46,7 @@ def make_train_step(model, cfg, mesh, meta=None, trainable=None,
     import numpy as np
     pixel_means = np.asarray(cfg.PIXEL_MEANS)
 
-    def step(train_state, batch, lr, loss_scale_factor, rng, meta_=None):
+    def step(train_state, batch, lr, loss_scale_factor, rng):
         params, state, opt_state = (train_state['params'],
                                     train_state['state'],
                                     train_state['opt'])
