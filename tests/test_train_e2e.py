@@ -233,3 +233,31 @@ def test_orbax_snapshot_resume(tiny_train_cfg, tmp_path):
     feats = np.asarray(model.extract_features(
         ts2['params'], ts2['state'], x))
     assert np.isfinite(feats).all()
+
+
+def test_resume_bitwise_equals_continuous(tiny_train_cfg, tmp_path):
+    """An interrupted-and-resumed run produces the SAME final checkpoint
+    as a continuous run: the loader plan is a pure function of the epoch
+    and the per-step PRNG is fold_in(base, global_step), so nothing in
+    the stream depends on where the process boundary fell."""
+    from pps_tpu.utils.io import load_object
+    c = tiny_train_cfg
+    decode = _class_decoder(N_IDS)
+
+    c.SOLVER.MAX_ITER = 2
+    train_model(c, output_dir=str(tmp_path / 'cont'), decode_fn=decode,
+                num_workers=1)
+    cont = load_object(os.path.join(str(tmp_path / 'cont'),
+                                    'model_final.pkl'))['blobs']
+
+    out2 = str(tmp_path / 'split')
+    c.SOLVER.MAX_ITER = 1
+    train_model(c, output_dir=out2, decode_fn=decode, num_workers=1)
+    os.remove(os.path.join(out2, 'model_final.pkl'))
+    c.SOLVER.MAX_ITER = 2
+    train_model(c, output_dir=out2, decode_fn=decode, num_workers=1)
+    split = load_object(os.path.join(out2, 'model_final.pkl'))['blobs']
+
+    assert sorted(cont) == sorted(split)
+    for k in cont:
+        np.testing.assert_array_equal(cont[k], split[k], err_msg=k)
