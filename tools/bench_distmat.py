@@ -48,7 +48,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     import jax.numpy as jnp
     from pps_tpu.ops.distance import euclidean_distmat
 

@@ -67,7 +67,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
 
     root = args.data_dir or tempfile.mkdtemp(prefix='pps_e2e_')
     if not os.path.exists(os.path.join(root, 'trainval.json')):
@@ -86,7 +87,10 @@ def main():
         'TRAIN.DATASETS', "('synth_e2e_trainval',)",
         'SOLVER.MAX_ITER', str(args.epochs),
         'TPU.DEVICE_AUGMENT', args.device_augment,
-        'OUTPUT_DIR', os.path.join(root, 'out'),
+        # fresh run dir per invocation: reusing one would hit the
+        # model_final.pkl training-complete marker (auto-resume contract)
+        # and silently benchmark nothing
+        'OUTPUT_DIR', os.path.join(root, 'out_%d' % os.getpid()),
     ])
     from pps_tpu.engine.train import train_model
     train_model(cfg, num_workers=args.workers, log_period=20)

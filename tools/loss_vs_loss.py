@@ -50,7 +50,8 @@ def main():
         print('matplotlib unavailable; skipping plot')
         return
 
-    colors = ['r', 'g', 'b', 'm']
+    import itertools
+    colors = itertools.cycle(['r', 'g', 'b', 'm', 'c', 'y', 'k'])
     fig, ax = plt.subplots(figsize=(10, 5))
     for (label, iters, losses), color in zip(series, colors):
         if losses:

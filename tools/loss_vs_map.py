@@ -44,8 +44,9 @@ def get_map(log_path):
     map_values = []
     with open(log_path) as f:
         for line in f:
-            m = re.search(r'Single Query:\s+\[mAP: ([0-9.]+)%\]',
-                          line.strip())
+            # anchored: 'Re-ranked Single Query:' lines must NOT match
+            m = re.match(r'Single Query:\s+\[mAP: ([0-9.]+)%\]',
+                         line.strip())
             if m:
                 map_values.append(float(m.group(1)))
     if not map_values:

@@ -26,29 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _time(fn, args, iters, warmup=3):
-    """Slope timing: dispatch N, force with one scalar readback, two N
-    values (block_until_ready on unchained outputs can return early
-    through the tunneled PJRT plugin — CLAUDE.md)."""
-    import jax
-    import jax.numpy as jnp
-
-    def consume(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf))
-
-    def run(n):
-        out = None
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        consume(out)
-        return time.perf_counter() - t0
-
-    for _ in range(warmup):
-        run(1)
-    t_small = run(2)
-    t_big = run(2 + iters)
-    return (t_big - t_small) / iters
+    """Slope timing via the shared tunnel-safe protocol
+    (pps_tpu.utils.timer.slope_time; CLAUDE.md)."""
+    from pps_tpu.utils.timer import slope_time
+    return slope_time(lambda: fn(*args), iters=iters, warmup=warmup)
 
 
 def main():
@@ -60,7 +41,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     import jax.numpy as jnp
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
@@ -69,6 +51,7 @@ def main():
     from pps_tpu.parallel import train_step as ts_lib
     from pps_tpu.solver import optimizer as opt_lib
 
+    assert args.batch % 8 == 0, '--batch must be a multiple of 8 (P=8)'
     p = 8
     k = max(1, args.batch // 8)
     cfg = g._flagship_cfg(ims_per_batch=args.batch, p=p, k=k,

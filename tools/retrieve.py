@@ -75,18 +75,28 @@ def main():
     assert gallery_paths, 'no images in {}'.format(args.gallery)
 
     cache = os.path.join(args.gallery, 'gallery_features.npz')
+    # cache validity covers the MODEL too, not just the path list:
+    # switching --weights must re-embed, or queries embedded with the new
+    # model would be matched against stale gallery embeddings
+    wkey = ''
+    if args.weights and os.path.exists(args.weights):
+        st = os.stat(args.weights)
+        wkey = '%s:%d:%d' % (os.path.abspath(args.weights),
+                             st.st_size, int(st.st_mtime))
     if os.path.exists(cache) and not args.refresh_cache:
         data = np.load(cache, allow_pickle=True)
         g_feats = data['features']
         cached_paths = list(data['paths'])
-        if cached_paths != gallery_paths:
-            logger.info('gallery changed; re-embedding')
+        cached_wkey = str(data['wkey']) if 'wkey' in data else ''
+        if cached_paths != gallery_paths or cached_wkey != wkey:
+            logger.info('gallery or weights changed; re-embedding')
             g_feats = None
     else:
         g_feats = None
     if g_feats is None:
         g_feats = embed(cfg, model, params, state, gallery_paths, mesh)
-        np.savez(cache, features=g_feats, paths=np.array(gallery_paths))
+        np.savez(cache, features=g_feats, paths=np.array(gallery_paths),
+                 wkey=np.array(wkey))
         logger.info('cached %d gallery embeddings to %s', len(gallery_paths),
                     cache)
 
