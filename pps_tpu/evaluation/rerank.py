@@ -201,7 +201,7 @@ def rerank_distmat_jax(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
     expansion is a [N, k1+1, half+1, k1+1] compare-reduce, and V is built
     densely in row blocks by scatter.  Stages are jitted separately so
     at most ~3 [N, N] f32 buffers are live: 19,281 images (full Market)
-    peak ~4.5 GB HBM and ~2.7 s on one v5e chip (~4 s including on-device
+    peak ~4.5 GB HBM and ~3.2 s on one v5e chip (~4 s including on-device
     distmats + mAP/CMC scoring of the result; the host C++/OpenMP path
     takes 14-25 s for the re-rank alone, numpy minutes).
 
