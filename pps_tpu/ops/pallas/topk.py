@@ -22,10 +22,18 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'chunk'))
-def streaming_topk(q, g, k=100, chunk=4096):
+@functools.partial(jax.jit, static_argnames=('k', 'chunk', 'recall_target'))
+def streaming_topk(q, g, k=100, chunk=4096, recall_target=None):
     """Returns (dists [Nq, k], indices [Nq, k]) of the k nearest gallery
-    rows per query (Euclidean, ascending)."""
+    rows per query (Euclidean, ascending).
+
+    recall_target: None = exact (sort-based per-chunk merge).  A float in
+    (0, 1] routes the per-chunk selection through the TPU's
+    hardware-accelerated ``lax.approx_min_k`` with one exact final merge
+    over the collected candidates — measured on v5e at 3368 queries x 1M
+    gallery x top-100: exact 1.73 s, recall_target 0.95 -> 0.26 s (6.7x)
+    at 0.9999 measured recall vs exact (BASELINE.md).
+    """
     nq, d = q.shape
     ng = g.shape[0]
     k = min(k, ng)
@@ -37,6 +45,27 @@ def streaming_topk(q, g, k=100, chunk=4096):
     n_chunks = gp.shape[0] // chunk
     gc = gp.reshape(n_chunks, chunk, d)
     qn = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    if recall_target is not None:
+        def approx_body(_, inp):
+            gi, base = inp
+            gn = jnp.sum(jnp.square(gi), axis=1)
+            d2 = qn + gn[None, :] - 2.0 * jnp.dot(
+                q, gi.T, preferred_element_type=jnp.float32)
+            idx = base + jax.lax.broadcasted_iota(
+                jnp.int32, (nq, chunk), 1)
+            d2 = jnp.where(idx < ng, jnp.maximum(d2, 0.0), jnp.inf)
+            bd, bi = jax.lax.approx_min_k(
+                d2, k, recall_target=float(recall_target))
+            return None, (bd, jnp.take_along_axis(idx, bi, axis=1))
+
+        _, (ds, is_) = jax.lax.scan(approx_body, None, (gc, bases))
+        cand_d = jnp.moveaxis(ds, 0, 1).reshape(nq, -1)
+        cand_i = jnp.moveaxis(is_, 0, 1).reshape(nq, -1)
+        neg, sel = jax.lax.top_k(-cand_d, k)  # exact final merge
+        return (jnp.sqrt(-neg),
+                jnp.take_along_axis(cand_i, sel, axis=1))
 
     def scan_body(carry, inp):
         best_d, best_i = carry
@@ -57,6 +86,5 @@ def streaming_topk(q, g, k=100, chunk=4096):
 
     init = (jnp.full((nq, k), jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_d, best_i), _ = jax.lax.scan(scan_body, init, (gc, bases))
     return jnp.sqrt(best_d), best_i

@@ -47,3 +47,20 @@ def test_zero_even_golden():
         want = x.copy()
         want[0::2] = 0.0
         np.testing.assert_allclose(got, want)
+
+
+def test_streaming_topk_approx_matches_exact():
+    """recall_target path: hardware-approx per-chunk selection + exact
+    final merge.  On CPU approx_min_k is effectively exact, so results
+    match the exact path; the shapes/ordering contract is pinned here and
+    the 6.7x TPU speedup + 0.9999 measured recall is in BASELINE.md."""
+    import jax
+    import jax.numpy as jnp
+    from pps_tpu.ops.pallas.topk import streaming_topk
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(24, 16).astype(np.float32))
+    g = jnp.asarray(rng.randn(1000, 16).astype(np.float32))
+    ed, ei = streaming_topk(q, g, k=10, chunk=256)
+    ad, ai = streaming_topk(q, g, k=10, chunk=256, recall_target=0.95)
+    np.testing.assert_allclose(np.asarray(ad), np.asarray(ed), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
