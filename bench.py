@@ -54,7 +54,8 @@ def _throughput(fn, args, batch, iters=20, warmup=3):
 
 def main():
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    from pps_tpu.utils.env import configure_jax_cache
+    configure_jax_cache()
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
 

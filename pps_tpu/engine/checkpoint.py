@@ -260,11 +260,15 @@ def save_checkpoint_orbax(path, train_state, cfg=None):
     call `wait_for_orbax()` or save again (which waits on the previous
     write) before reading the directory.
     """
+    import jax
     import orbax.checkpoint as ocp
     ckptr = _orbax_checkpointer()
     ckptr.wait_until_finished()  # one async write in flight at a time
     ckptr.save(os.path.abspath(path), dict(train_state), force=True)
-    if cfg is not None:
+    # sidecar from process 0 only (multi-host shares one fs; concurrent
+    # writers would race), and only after the save above was accepted —
+    # wait_for_orbax()/the next save confirms the directory itself.
+    if cfg is not None and jax.process_index() == 0:
         with open(os.path.abspath(path) + '.cfg.yaml', 'w') as f:
             f.write(yaml.dump(_plain(dict(cfg))))
     logger.info('Writing orbax checkpoint: %s (async)', path)

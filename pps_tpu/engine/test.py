@@ -29,11 +29,21 @@ from pps_tpu.utils.timer import Timer
 logger = logging.getLogger(__name__)
 
 
-def preprocess_images(roidb, cfg, decode_fn=None, num_workers=2):
+def _default_workers(num_workers):
+    """None -> scale with the host (capped at 8); explicit ints honored.
+    Keeps single-digit-core harness hosts at low parallelism without
+    baking that trait into the library API."""
+    if num_workers is None:
+        return min(8, os.cpu_count() or 1)
+    return num_workers
+
+
+def preprocess_images(roidb, cfg, decode_fn=None, num_workers=None):
     """Decode + resize the full test set to a [N, H, W, 3] stack
     (reference core/test.py:970-979, but parallel: cv2 decode/resize
     release the GIL, so a thread pool scales on host cores)."""
     from concurrent.futures import ThreadPoolExecutor
+    num_workers = _default_workers(num_workers)
     decode_fn = decode_fn or transforms.decode_image
     w, h = cfg.REID.SCALE
     pixel_means = np.asarray(cfg.PIXEL_MEANS)
@@ -52,10 +62,11 @@ def preprocess_images(roidb, cfg, decode_fn=None, num_workers=2):
     return out
 
 
-def decode_uint8_stack(roidb, decode_fn=None, num_workers=2):
+def decode_uint8_stack(roidb, decode_fn=None, num_workers=None):
     """Decode the whole set to one uint8 stack, or None when image sizes
     differ (the device-preproc fast path needs a static input shape)."""
     from concurrent.futures import ThreadPoolExecutor
+    num_workers = _default_workers(num_workers)
     decode_fn = decode_fn or transforms.decode_image
     with ThreadPoolExecutor(max(1, num_workers)) as pool:
         ims = list(pool.map(lambda e: decode_fn(e['image']), roidb))
@@ -66,7 +77,7 @@ def decode_uint8_stack(roidb, decode_fn=None, num_workers=2):
 
 def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
                    decode_fn=None, flip_tta=False, device_preproc=True,
-                   num_workers=2, prefetch=3):
+                   num_workers=None, prefetch=3):
     """Streaming extraction: decode -> preprocess -> H2D -> extract with
     O(prefetch x batch) host memory instead of decoding the whole test set
     to one resident stack (VERDICT round-1 weak #6: Market's 19.7k images
@@ -86,6 +97,7 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    num_workers = _default_workers(num_workers)
     decode_fn = decode_fn or transforms.decode_image
     w, h = cfg.REID.SCALE
     pixel_means = np.asarray(cfg.PIXEL_MEANS)

@@ -90,7 +90,12 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
 
     mesh = mesh_lib.build_mesh(cfg)
     meta = opt_lib.make_param_meta(params, cfg)
-    step_fn = ts_lib.make_train_step(model, cfg, mesh, meta=meta)
+    # TRAIN.FREEZE_AT / FREEZE_CONV_BODY: frozen params get no update op
+    # (reference optimizer.py:90-157 builds updates only for params with
+    # gradients — no weight decay, no momentum below the freeze point)
+    trainable = opt_lib.trainable_from_cfg(cfg, params)
+    step_fn = ts_lib.make_train_step(model, cfg, mesh, meta=meta,
+                                     trainable=trainable)
 
     def device_put_fn(batch):
         if cfg.TPU.WIRE_DTYPE == 'bfloat16' and 'data' in batch:

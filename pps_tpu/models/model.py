@@ -71,6 +71,10 @@ class ReIDModel:
         self.use_triplet = cfg.REID.TRIPLET_LOSS
         self.use_crm = cfg.REID.CRM
         self.normalize_feature = cfg.REID.NORMALIZE_FEATURE
+        # stop-gradient on the body output (reference
+        # model_builder.py:255-257); the optimizer-side bit-freeze is
+        # solver/optimizer.trainable_from_cfg
+        self.freeze_conv_body = bool(cfg.TRAIN.FREEZE_CONV_BODY)
 
     # -- init ---------------------------------------------------------------
     def init(self, rng):
@@ -112,6 +116,8 @@ class ReIDModel:
             if remat:
                 body = jax.checkpoint(body)
             feat, updates = body(params, state, images)
+            if train and self.freeze_conv_body:
+                feat = jax.lax.stop_gradient(feat)
             combo_feats = self._combo_feats(feat, self.head_spec['splits'])
         else:
             body = lambda p, s, im: resnet_lib.apply_resnet(
@@ -123,6 +129,10 @@ class ReIDModel:
             pyramid, fpn_upd = fpn_lib.apply_fpn(
                 params, state, stages, self.fpn_spec, train=train)
             updates.update(fpn_upd)
+            if train and self.freeze_conv_body:
+                # with FPN_ON the pyramid IS the conv-body output
+                # (reference add_conv_body_func returns the FPN blobs)
+                pyramid = [jax.lax.stop_gradient(p) for p in pyramid]
             if not train:
                 # test: coarsest level only (reference pps_heads.py:88-96)
                 combo_feats = self._combo_feats(pyramid[0],

@@ -79,6 +79,12 @@ def put_global_batch(sharding, arr):
     range-sharding + pickle merges on one machine, test_engine.py:184-229).
     """
     if jax.process_count() > 1:
+        if arr.shape[0] % jax.process_count() != 0:
+            raise ValueError(
+                'global batch {} not divisible by process_count {}: the '
+                'truncated shard would mis-align features to images '
+                '(callers pad the tail batch to a divisible size)'.format(
+                    arr.shape[0], jax.process_count()))
         rows = arr.shape[0] // jax.process_count()
         local = arr[jax.process_index() * rows:][:rows]
         return jax.make_array_from_process_local_data(sharding, local)

@@ -63,6 +63,45 @@ def make_param_meta(params, cfg):
     return meta
 
 
+def _frozen_prefixes(cfg):
+    """Param-name prefixes below the freeze point.
+
+    The reference stop-gradients the stage output (ResNet.py:100-108,
+    freeze_at in [0,2,3,4,5]) and then builds SGD update ops only for
+    params that received gradients (optimizer.py:90-157), so everything
+    at or below the frozen stage is bit-frozen: no weight decay, no
+    momentum.  TRAIN.FREEZE_CONV_BODY stop-gradients the body output
+    (model_builder.py:255-257) freezing the whole conv body (with FPN_ON
+    the laterals are inside add_conv_body_func, so they freeze too).
+    """
+    freeze_at = int(cfg.TRAIN.FREEZE_AT)
+    assert freeze_at in (0, 1, 2, 3, 4, 5), freeze_at
+    if cfg.TRAIN.FREEZE_CONV_BODY:
+        return ('conv1', 'res_conv1_bn', 'res2_', 'res3_', 'res4_',
+                'res5_', 'fpn_')
+    if freeze_at == 0:
+        return ()
+    stem = ('conv1', 'res_conv1_bn')  # conv1_w + BN/GN stem params
+    return stem + tuple('res%d_' % s for s in range(2, freeze_at + 1))
+
+
+def trainable_from_cfg(cfg, params):
+    """{name: bool} trainable map from TRAIN.FREEZE_AT /
+    TRAIN.FREEZE_CONV_BODY, or None when nothing is frozen (fast path).
+
+    Frozen params receive NO update at all — params and momentum pass
+    through sgd_update bitwise unchanged, matching the reference's
+    missing-update-op semantics.  BN running stats of frozen stages are
+    NOT covered here: they are computed state, and the reference's
+    train-mode SpatialBN keeps updating them in-graph even below the
+    freeze point — ours do the same via the state pytree.
+    """
+    prefixes = _frozen_prefixes(cfg)
+    if not prefixes:
+        return None
+    return {name: not name.startswith(prefixes) for name in params}
+
+
 def init_opt_state(params, flavor='standard', iter_size=1):
     state = {'momentum': jax.tree.map(jnp.zeros_like, params)}
     if flavor == 'iter':

@@ -181,3 +181,55 @@ def test_gn_scale_weight_decay_group():
     assert meta['res2_0_branch2a_gn_s'] == (1.0, False, 0.0)
     assert meta['res2_0_branch2a_gn_b'] == (1.0, True, 0.0)
     assert meta['res2_0_branch2a_w'] == (1.0, False, 0.0005)
+
+
+def test_trainable_from_cfg_freeze_at():
+    """TRAIN.FREEZE_AT stage-prefix map (reference ResNet.py:95-115 +
+    optimizer.py:90-157: params below the freeze point get no update op)."""
+    params = {
+        'conv1_w': 0, 'conv1_gn_s': 0, 'res_conv1_bn_s': 0,
+        'res2_0_branch2a_w': 0, 'res2_0_branch2a_bn_b': 0,
+        'res3_0_branch1_w': 0, 'res4_5_branch2c_bn_s': 0,
+        'res5_2_branch2b_w': 0, 'fpn_inner_res5_w': 0,
+        'pps_conv_w': 0, 'pps_fc_w': 0, 'crm_fc8c_w': 0,
+    }
+    cfg.TRAIN.FREEZE_AT = 0
+    assert opt_lib.trainable_from_cfg(cfg, params) is None
+
+    cfg.TRAIN.FREEZE_AT = 2
+    t = opt_lib.trainable_from_cfg(cfg, params)
+    frozen = {k for k, v in t.items() if not v}
+    assert frozen == {'conv1_w', 'conv1_gn_s', 'res_conv1_bn_s',
+                      'res2_0_branch2a_w', 'res2_0_branch2a_bn_b'}
+
+    cfg.TRAIN.FREEZE_AT = 5
+    t = opt_lib.trainable_from_cfg(cfg, params)
+    assert {k for k, v in t.items() if v} == {
+        'fpn_inner_res5_w', 'pps_conv_w', 'pps_fc_w', 'crm_fc8c_w'}
+
+    # FREEZE_CONV_BODY freezes the whole body incl. FPN laterals
+    # (reference model_builder.py:255-257: StopGradient on blob_conv)
+    cfg.TRAIN.FREEZE_AT = 0
+    cfg.TRAIN.FREEZE_CONV_BODY = True
+    t = opt_lib.trainable_from_cfg(cfg, params)
+    assert {k for k, v in t.items() if v} == {
+        'pps_conv_w', 'pps_fc_w', 'crm_fc8c_w'}
+
+
+def test_sgd_update_trainable_passthrough():
+    """Frozen params AND their momentum pass through bitwise unchanged
+    (no weight decay, no momentum accumulation)."""
+    params, meta, grads, opt = _tiny_setup()
+    opt['momentum'] = {k: jnp.full_like(v, 0.25)
+                       for k, v in params.items()}
+    trainable = {'res2_w': False, 'res2_b': True,
+                 'pps_conv_w': True, 'pps_fc_w': False}
+    p1, o1 = opt_lib.sgd_update(params, grads, opt, 0.1, meta,
+                                trainable=trainable)
+    for k in ('res2_w', 'pps_fc_w'):
+        np.testing.assert_array_equal(np.asarray(p1[k]),
+                                      np.asarray(params[k]))
+        np.testing.assert_array_equal(np.asarray(o1['momentum'][k]),
+                                      np.asarray(opt['momentum'][k]))
+    for k in ('res2_b', 'pps_conv_w'):
+        assert not np.array_equal(np.asarray(p1[k]), np.asarray(params[k]))

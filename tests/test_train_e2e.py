@@ -261,3 +261,100 @@ def test_resume_bitwise_equals_continuous(tiny_train_cfg, tmp_path):
     assert sorted(cont) == sorted(split)
     for k in cont:
         np.testing.assert_array_equal(cont[k], split[k], err_msg=k)
+
+
+def test_freeze_at_params_bit_frozen(tiny_train_cfg, tmp_path):
+    """TRAIN.FREEZE_AT=2: params at/below the freeze point are bitwise
+    unchanged after training (no weight-decay drift, zero momentum), BN
+    running stats of frozen stages still update (the reference's
+    computed-blob semantics), and stages above the freeze point train
+    (reference ResNet.py:104-106 + optimizer.py:90-157)."""
+    import jax
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    from pps_tpu.models.model import build_model
+    from pps_tpu.utils.io import load_object
+
+    c = tiny_train_cfg
+    c.TRAIN.FREEZE_AT = 2
+    c.SOLVER.MAX_ITER = 1
+    decode = _class_decoder(N_IDS)
+    out = str(tmp_path / 'freeze2')
+
+    model = build_model(c)
+    params0, state0 = model.init(jax.random.PRNGKey(c.RNG_SEED))
+    blobs0 = ckpt_lib.params_to_blobs(model, params0, state0)
+
+    ck = train_model(c, output_dir=out, decode_fn=decode, num_workers=1)
+    blobs = load_object(ck['final'])['blobs']
+
+    frozen = [k for k in blobs0
+              if k.startswith(('conv1', 'res_conv1_bn', 'res2_'))
+              and not k.endswith(('_bn_rm', '_bn_riv'))]
+    assert frozen
+    for k in frozen:
+        np.testing.assert_array_equal(blobs[k], blobs0[k], err_msg=k)
+        np.testing.assert_array_equal(
+            blobs[k + '_momentum'], np.zeros_like(blobs0[k]), err_msg=k)
+
+    stats = [k for k in blobs0
+             if k.startswith('res2_') and k.endswith('_bn_rm')]
+    assert stats and any(
+        not np.array_equal(blobs[k], blobs0[k]) for k in stats)
+
+    above = [k for k in blobs0
+             if k.startswith('res3_') and k.endswith('_w')]
+    assert above and all(
+        not np.array_equal(blobs[k], blobs0[k]) for k in above)
+
+
+def test_freeze_conv_body_step(tiny_train_cfg):
+    """TRAIN.FREEZE_CONV_BODY: the whole conv body is bit-frozen through
+    the real mesh-sharded train step; heads still train (reference
+    model_builder.py:255-257)."""
+    import jax
+    import jax.numpy as jnp
+    from pps_tpu.models.model import build_model
+    from pps_tpu.parallel import mesh as mesh_lib
+    from pps_tpu.parallel import train_step as ts_lib
+    from pps_tpu.solver import optimizer as opt_lib
+
+    c = tiny_train_cfg
+    c.TRAIN.FREEZE_CONV_BODY = True
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    meta = opt_lib.make_param_meta(params, c)
+    trainable = opt_lib.trainable_from_cfg(c, params)
+    assert trainable is not None and not trainable['conv1_w']
+    opt = opt_lib.init_opt_state(params)
+    mesh = mesh_lib.build_mesh(c)
+    step = ts_lib.make_train_step(model, c, mesh, meta=meta,
+                                  trainable=trainable, donate=False)
+
+    b = c.TRAIN.IMS_PER_BATCH
+    rng = np.random.RandomState(0)
+    labels = np.repeat(np.arange(c.REID.P), c.REID.K).astype(np.int32)
+    oh = np.zeros((b, c.MODEL.NUM_CLASSES - 1), np.float32)
+    oh[np.arange(b), labels] = 1.0
+    batch = {'data': rng.randn(b, 96, 32, 3).astype(np.float32) * 20,
+             'labels_int32': labels, 'labels_oh': oh}
+    with mesh:
+        ts = ts_lib.place_train_state(
+            mesh, {'params': params, 'state': state, 'opt': opt})
+        dev_b = ts_lib.shard_batch(mesh, batch)
+        for i in range(2):
+            ts, _ = step(ts, dev_b, jnp.float32(0.01), jnp.float32(1.0),
+                         jax.random.PRNGKey(i))
+
+    body = [k for k in params
+            if k.startswith(('conv1', 'res_conv1_bn', 'res2_', 'res3_',
+                             'res4_', 'res5_'))]
+    assert body
+    for k in body:
+        np.testing.assert_array_equal(
+            np.asarray(ts['params'][k]), np.asarray(params[k]), err_msg=k)
+        np.testing.assert_array_equal(
+            np.asarray(ts['opt']['momentum'][k]),
+            np.zeros_like(np.asarray(params[k])), err_msg=k)
+    hp = model.head_param_prefix + '_fc_w'
+    assert not np.array_equal(np.asarray(ts['params'][hp]),
+                              np.asarray(params[hp]))
