@@ -27,10 +27,24 @@ logger = logging.getLogger(__name__)
 
 
 class ReIDLoader(object):
-    def __init__(self, roidb, cfg, num_workers=4, prefetch=4, seed=None,
-                 decode_fn=None, device_put_fn=None, raw=False):
+    def __init__(self, roidb, cfg, num_workers=None, prefetch=None,
+                 seed=None, decode_fn=None, device_put_fn=None, raw=False,
+                 device_prefetch=None):
+        """num_workers / prefetch / device_prefetch default from the
+        DATA_LOADER cfg block — the reference sized its loader from
+        exactly these keys (reference roi_data/loader.py:67-101):
+        NUM_THREADS -> decode workers, MINIBATCH_QUEUE_SIZE -> host
+        batches prepared ahead, BLOBS_QUEUE_CAPACITY -> device batches
+        transferred ahead of the consumer (the BlobsQueue depth)."""
         self._roidb = roidb
         self._cfg = cfg
+        if num_workers is None:
+            num_workers = cfg.DATA_LOADER.NUM_THREADS
+        if prefetch is None:
+            prefetch = cfg.DATA_LOADER.MINIBATCH_QUEUE_SIZE
+        if device_prefetch is None:
+            device_prefetch = cfg.DATA_LOADER.BLOBS_QUEUE_CAPACITY
+        self._device_prefetch = max(1, int(device_prefetch))
         self._decode_fn = decode_fn
         self._device_put_fn = device_put_fn
         # uint8 wire for on-device augmentation.  The wire shape must be
@@ -138,6 +152,7 @@ class ReIDLoader(object):
         if not plan:
             return
         self._cur_ep = ep
+        self._dev_ready = {}  # slot -> device batch transferred ahead
         self._slots = [None] * len(plan)
         self._sem = threading.Semaphore(0)
         self._stop.clear()
@@ -172,7 +187,21 @@ class ReIDLoader(object):
                 if mode == 'pk':
                     self._check_pk(batch['labels_int32'])
                 if self._device_put_fn is not None:
-                    batch = self._device_put_fn(batch)
+                    dev = self._dev_ready.pop(step, None)
+                    if dev is None:
+                        dev = self._device_put_fn(batch)
+                    # transfer up to BLOBS_QUEUE_CAPACITY decoded batches
+                    # ahead of the consumer (device_put is async, so the
+                    # H2D copies overlap the current step's compute — the
+                    # BlobsQueue analog, reference loader.py:256-279)
+                    for s in range(step + 1,
+                                   min(step + self._device_prefetch,
+                                       issued)):
+                        if s not in self._dev_ready and \
+                                self._slots[s] is not None:
+                            self._dev_ready[s] = self._device_put_fn(
+                                self._slots[s][3])
+                    batch = dev
                 yield i, scale, batch
         finally:
             self._stop.set()

@@ -332,7 +332,9 @@ def evaluate_dataset(cfg, feats, roidb, distmat_fn=None, output_dir=None):
 
 def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
     """The tools/test_net.py driver path (reference test_engine.py:91-143).
-    Returns {dataset: results}."""
+    Returns {dataset: results}.  Without an explicit output_dir, eval
+    artifacts go to <OUTPUT_DIR>/test/<dataset>/ per dataset (the
+    get_output_dir convention, reference test_engine.py:108)."""
     weights_file = weights_file or cfg.TEST.WEIGHTS
     from pps_tpu.utils.env import configure_jax_cache
     configure_jax_cache()
@@ -341,8 +343,13 @@ def run_inference(cfg, weights_file=None, output_dir=None, decode_fn=None):
     if isinstance(datasets, str):
         datasets = (datasets,)
     for ds in datasets:
+        if output_dir is None:
+            from pps_tpu.config import get_output_dir
+            ds_out = get_output_dir((ds,), training=False)
+        else:
+            ds_out = output_dir
         feats, roidb = test_net(cfg, weights_file, ds,
-                                output_dir=output_dir, decode_fn=decode_fn)
+                                output_dir=ds_out, decode_fn=decode_fn)
         results[ds] = evaluate_dataset(cfg, feats, roidb,
-                                       output_dir=output_dir)
+                                       output_dir=ds_out)
     return results

@@ -66,13 +66,18 @@ def create_model(cfg, output_dir):
 
 
 def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
-                num_workers=4, log_period=None):
+                num_workers=None, log_period=None):
     """Run the full training schedule.  Returns {epoch: ckpt_path}.
 
+    output_dir defaults to the reference convention
+    <OUTPUT_DIR>/train/<dataset>/ (reference utils/train.py:144 via
+    get_output_dir); num_workers defaults to DATA_LOADER.NUM_THREADS.
     roidb/decode_fn injectable for tests (reference tests patched
     get_minibatch the same way, tests/test_loader.py:88-95).
     """
-    output_dir = output_dir or cfg.OUTPUT_DIR
+    if output_dir is None:
+        from pps_tpu.config import get_output_dir
+        output_dir = get_output_dir(cfg.TRAIN.DATASETS, training=True)
     os.makedirs(output_dir, exist_ok=True)
     from pps_tpu.utils.env import configure_jax_cache
     configure_jax_cache()
@@ -120,6 +125,7 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     base_rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
     cur_lr = None
     global_step = sched.steps_before_epoch(start_epoch)
+    start_step = global_step
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS)
 
     # op-level tracing: set PPS_TPU_PROFILE_DIR to capture a jax profiler
@@ -158,11 +164,22 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                     jax.profiler.start_trace(profile_dir)
                 if profile_dir and global_step == profile_window[1]:
                     jax.profiler.stop_trace()
+                if global_step == start_step + stats.LOG_PERIOD:
+                    # shed the first-iteration (compile) outliers from
+                    # time/ETA (reference utils/train.py:116-119)
+                    logger.info('Resetting iteration timer after warm-up')
+                    stats.ResetIterTimer()
                 stats.IterTic()
                 lr = float(lr_policy.get_lr_at_iter(
                     cfg, sched.lr_iter(ep, i), ep, sched.ipe))
                 if cur_lr is not None and cur_lr != lr:
                     ratio = opt_lib.get_lr_change_ratio(cur_lr, lr)
+                    if ratio > cfg.SOLVER.LOG_LR_CHANGE_THRESHOLD:
+                        # logged independently of momentum scaling
+                        # (reference detector.py:506-515)
+                        logger.info(
+                            'Changing learning rate %.6f -> %.6f at '
+                            'iter %d', cur_lr, lr, global_step)
                     # reference guard detector.py:535: flag + tiny-LR floor
                     if (cfg.SOLVER.SCALE_MOMENTUM and cur_lr > 1e-7 and
                             ratio > cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD):

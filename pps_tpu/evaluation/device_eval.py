@@ -11,11 +11,16 @@ Exclusion trick: same-id-same-cam gallery entries are pushed to +inf
 distance, which preserves the relative order of the valid entries under a
 stable argsort while keeping every row a fixed [Ng] vector (static shapes).
 
-Numerics note: the 0.18.1 AP places thresholds at *distinct* score values;
-this vectorization assumes distinct distances within a query row (float
-embedding distances; exact ties have measure zero).  The numpy
-implementation in metrics.py remains the golden reference and the two are
-cross-checked in tests/test_device_eval.py.
+Numerics note: the 0.18.1 AP places thresholds at *distinct* score
+values.  The vectorized AP below collapses tie groups to one threshold
+(cummin/cummax group propagation), so it matches the host path exactly
+even for distmats with structural ties — re-ranked/jaccard distances can
+tie when two gallery entries share a k-reciprocal neighborhood
+(evaluator.py:154-166), and duplicated features tie trivially.  CMC
+breaks ties by stable sort order, shared with the host path
+(metrics.py uses mergesort).  The numpy implementation in metrics.py
+remains the golden reference; tie cases are cross-checked in
+tests/test_device_eval.py.
 """
 
 import functools
@@ -49,12 +54,35 @@ def cmc_map_device(distmat, query_ids, gallery_ids, query_cams,
     total = jnp.sum(match_f, axis=1)                     # matches per query
     valid_q = total > 0
 
-    # --- mAP: trapezoid of precision over recall, (r=0, p=1) endpoint ---
+    # --- mAP: trapezoid of precision over recall, (r=0, p=1) endpoint,
+    # thresholds at DISTINCT distance values (the 0.18.1 semantics).
+    # Tied distances share one threshold, so tie groups are collapsed:
+    # every position gathers the cumulative tps at its group END (the
+    # group's precision point) and the previous group's end (the prior
+    # trapezoid vertex).  Order within a tie group cancels out, which is
+    # what makes this agree with the host path even though host argsort
+    # and device argsort could break ties differently. ---
+    d_sorted = jnp.take_along_axis(d, order, axis=1)
+    nxt = jnp.concatenate(
+        [d_sorted[:, 1:], jnp.full((nq, 1), jnp.inf, d_sorted.dtype)],
+        axis=1)
+    is_end = (d_sorted != nxt) | (pos == ng - 1)
+    # L[i] = end index of i's tie group: backward min-propagation of the
+    # end positions (excluded entries sit in one +inf group at the tail
+    # where match is all-zero, so they never contribute)
+    big = jnp.where(is_end, pos, ng)
+    L = jnp.flip(jax.lax.cummin(jnp.flip(big, axis=1), axis=1), axis=1)
+    # S[i] = start index of i's tie group: forward max-propagation
+    is_start = jnp.concatenate(
+        [jnp.ones((nq, 1), bool), is_end[:, :-1]], axis=1)
+    S = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+
     tps = jnp.cumsum(match_f, axis=1)
-    prec = tps / (pos + 1.0)
-    prec_prev = jnp.concatenate(
-        [jnp.ones((nq, 1), jnp.float32), prec[:, :-1]], axis=1)
-    ap = jnp.sum(match_f * (prec + prec_prev), axis=1) / (
+    t_end = jnp.take_along_axis(tps, L, axis=1)
+    p_end = t_end / (L + 1.0)
+    t_prev = jnp.take_along_axis(tps, jnp.maximum(S - 1, 0), axis=1)
+    p_prev = jnp.where(S == 0, 1.0, t_prev / jnp.maximum(S, 1))
+    ap = jnp.sum(match_f * (p_end + p_prev), axis=1) / (
         2.0 * jnp.maximum(total, 1.0))
     m_ap = jnp.sum(jnp.where(valid_q, ap, 0.0)) / jnp.maximum(
         jnp.sum(valid_q), 1)

@@ -60,7 +60,13 @@ def mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
     """mAP over valid queries (reference reid_dataset_evaluator.py:366-439)."""
     distmat = np.asarray(distmat)
     m = distmat.shape[0]
-    indices = np.argsort(distmat, axis=1)
+    # stable sort: with distinct distances identical to the reference's
+    # default argsort; under exact ties (possible for re-ranked/jaccard
+    # distances) the reference order is quicksort-arbitrary — stable
+    # order is the deterministic choice the device path also uses, and
+    # the 0.18.1 AP below is tie-grouped so AP is order-independent
+    # within a tie anyway.
+    indices = np.argsort(distmat, axis=1, kind='mergesort')
     matches = gallery_ids[indices] == query_ids[:, np.newaxis]
     aps = np.zeros(m)
     is_valid_query = np.zeros(m)
@@ -88,7 +94,9 @@ def cmc(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
     (reference reid_dataset_evaluator.py:283-363)."""
     distmat = np.asarray(distmat)
     m = distmat.shape[0]
-    indices = np.argsort(distmat, axis=1)
+    # stable sort (see mean_ap): deterministic tie order, shared with
+    # the device path; identical to the reference for distinct distances
+    indices = np.argsort(distmat, axis=1, kind='mergesort')
     matches = gallery_ids[indices] == query_ids[:, np.newaxis]
     ret = np.zeros([m, topk])
     is_valid_query = np.zeros(m)

@@ -44,15 +44,20 @@ void topk_row(const float* dist, int64_t n, int64_t i, int k,
 }
 
 // R(i, k): forward top-(k+1) of i restricted to entries whose own
-// top-(k+1) contains i (k-reciprocal set).
+// top-(k+1) contains i (k-reciprocal set).  k is clamped to the stored
+// rank width: with n <= k the whole set is used, matching the
+// reference's numpy slicing (initial_rank[i, :k+1] clamps silently,
+// reference :470-473) — without the clamp tiny galleries (n < k1)
+// read past the partial-rank rows.
 void k_reciprocal(const int32_t* ranks, int stride, int64_t i, int k,
                   std::vector<int32_t>* out) {
     out->clear();
+    const int lim = std::min(k, stride - 1);
     const int32_t* fwd = ranks + i * stride;
-    for (int a = 0; a <= k; ++a) {
+    for (int a = 0; a <= lim; ++a) {
         int32_t cand = fwd[a];
         const int32_t* back = ranks + (int64_t)cand * stride;
-        for (int b = 0; b <= k; ++b) {
+        for (int b = 0; b <= lim; ++b) {
             if (back[b] == (int32_t)i) {
                 out->push_back(cand);
                 break;
@@ -156,17 +161,20 @@ int pps_rerank(const float* q_g, const float* q_q, const float* g_g,
     const std::vector<SparseRow>* Vp = &V;
     if (k2 != 1) {
         V2.resize(n);
+        const int k2c = (int)std::min<int64_t>(k2, stride);  // tiny-n clamp
 #pragma omp parallel for schedule(dynamic, 64)
         for (int64_t i = 0; i < n; ++i) {
             // merge k2 sorted sparse rows
             std::vector<std::pair<int32_t, float>> acc;
-            for (int a = 0; a < k2; ++a) {
+            for (int a = 0; a < k2c; ++a) {
                 const SparseRow& r = V[ranks[i * stride + a]];
                 acc.insert(acc.end(), r.begin(), r.end());
             }
             std::sort(acc.begin(), acc.end());
             SparseRow& out_row = V2[i];
-            const float inv = 1.0f / k2;
+            const float inv = 1.0f / k2c;  // mean over the rows actually
+            // present (numpy mean over a clamped slice divides by its
+            // true length)
             for (size_t a = 0; a < acc.size();) {
                 int32_t j = acc[a].first;
                 float s = 0.f;

@@ -289,3 +289,52 @@ def test_training_stats_mb_qsize_key():
     s = st.GetStats(0, 0.01)
     assert s['mb_qsize'] == 3
     assert s['loss'] == 1.0
+
+
+def test_loader_knobs_from_cfg():
+    """DATA_LOADER.NUM_THREADS / MINIBATCH_QUEUE_SIZE /
+    BLOBS_QUEUE_CAPACITY size the loader when no explicit values are
+    passed (the reference sized its loader from exactly these keys,
+    reference roi_data/loader.py:67-101)."""
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '5',
+                         'TRAIN.IMS_PER_BATCH', '4',
+                         'REID.SCALE', '(16, 48)',
+                         'DATA_LOADER.NUM_THREADS', '3',
+                         'DATA_LOADER.MINIBATCH_QUEUE_SIZE', '5',
+                         'DATA_LOADER.BLOBS_QUEUE_CAPACITY', '2'])
+    roidb = [{'image': 'mem://%d' % i, 'gt_class': i % 4 + 1,
+              'flipped': False} for i in range(16)]
+    loader = ReIDLoader(roidb, cfg, decode_fn=_fake_decode)
+    assert loader._num_workers == 3
+    assert loader._prefetch == 5
+    assert loader._device_prefetch == 2
+    # explicit args still override the cfg
+    loader2 = ReIDLoader(roidb, cfg, num_workers=1, prefetch=2,
+                         device_prefetch=1, decode_fn=_fake_decode)
+    assert loader2._num_workers == 1
+    assert loader2._prefetch == 2
+    assert loader2._device_prefetch == 1
+
+
+def test_loader_device_prefetch_ahead():
+    """With BLOBS_QUEUE_CAPACITY > 1 the loader transfers prepared
+    batches ahead of the consumer via device_put_fn, in plan order."""
+    merge_cfg_from_list(['MODEL.NUM_CLASSES', '5',
+                         'TRAIN.IMS_PER_BATCH', '4',
+                         'REID.SCALE', '(16, 48)'])
+    roidb = [{'image': 'mem://%d' % i, 'gt_class': i % 4 + 1,
+              'flipped': False} for i in range(16)]
+    put_log = []
+
+    def fake_put(batch):
+        put_log.append(batch['labels_int32'].tobytes())
+        return dict(batch, devved=True)
+
+    loader = ReIDLoader(roidb, cfg, num_workers=2, prefetch=3,
+                        device_prefetch=3, decode_fn=_fake_decode,
+                        device_put_fn=fake_put)
+    got = [b for _i, _s, b in loader.iter_epoch(0)]
+    assert len(got) == 4 and all(b.get('devved') for b in got)
+    # every batch transferred exactly once, consumed in plan order
+    assert len(put_log) == 4
+    assert put_log == [b['labels_int32'].tobytes() for b in got]

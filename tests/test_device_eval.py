@@ -110,3 +110,80 @@ def test_evaluate_device_single_query_flag():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(dev[block]['cmc1'], ref[block]['cmc1'],
                                    rtol=1e-6)
+
+
+def test_device_exact_under_ties():
+    """Structurally tied distances (duplicated gallery features and a
+    jaccard-style distmat with repeated values): device mAP/CMC equal the
+    numpy golden path exactly — the device AP collapses tie groups to one
+    threshold (0.18.1 distinct-score semantics) and both paths break CMC
+    ties by stable sort order."""
+    rng = np.random.RandomState(7)
+    n_ids, per_id, d = 6, 5, 8
+    ids = np.repeat(np.arange(n_ids), per_id)
+    cams = rng.randint(0, 3, ids.size)
+    centers = rng.randn(n_ids, d)
+    feat = (centers[ids] + 0.5 * rng.randn(ids.size, d)).astype(np.float32)
+    q = np.zeros(ids.size, bool)
+    q[::per_id] = True
+    g_feat = feat[~q].copy()
+    # duplicate half the gallery rows -> exact zero-distance ties and
+    # duplicated distance columns
+    g_feat[1::2] = g_feat[0::2]
+    g_ids = ids[~q].copy()
+    g_cams = cams[~q].copy()
+    dm = metrics.compute_dist(feat[q], g_feat)
+    # quantize so unrelated entries also tie (worst case for grouping)
+    dm = np.round(dm, 1)
+
+    m_np = metrics.mean_ap(dm, ids[q], g_ids, cams[q], g_cams)
+    c_np = metrics.cmc(dm, ids[q], g_ids, cams[q], g_cams, topk=10,
+                       separate_camera_set=False,
+                       single_gallery_shot=False, first_match_break=True)
+    m_dev, c_dev = cmc_map_device(dm, ids[q], g_ids, cams[q], g_cams,
+                                  topk=10)
+    np.testing.assert_allclose(float(m_dev), m_np, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c_dev), c_np, rtol=1e-6)
+
+
+def test_device_ap_tie_group_hand_case():
+    """Hand-checked tie group: distances [1,1,2,2,3] with matches at
+    positions 0,2,3 -> thresholds at ends of the tie runs."""
+    dm = np.array([[1.0, 1.0, 2.0, 2.0, 3.0]])
+    g_ids = np.array([5, 9, 5, 5, 9])
+    q_ids = np.array([5])
+    cams_q = np.array([0])
+    cams_g = np.array([1, 1, 1, 1, 1])
+    # thresholds: idx1 (tps=1, p=1/2, r=1/3), idx3 (tps=3, p=3/4, r=1),
+    # idx4 (zero-width).  AP = (1/3)(1+.5)/2 + (2/3)(.5+.75)/2 = 2/3
+    want = (1/3) * (1 + 0.5) / 2 + (2/3) * (0.5 + 0.75) / 2
+    m_np = metrics.mean_ap(dm, q_ids, g_ids, cams_q, cams_g)
+    m_dev, _ = cmc_map_device(dm, q_ids, g_ids, cams_q, cams_g, topk=5)
+    np.testing.assert_allclose(m_np, want, rtol=1e-9)
+    np.testing.assert_allclose(float(m_dev), want, rtol=1e-6)
+
+
+def test_device_rerank_block_with_tied_features():
+    """End-to-end evaluator with duplicated features through the
+    device-scored re-ranked block (jaccard distances tie structurally
+    when k-reciprocal sets coincide): device vs numpy at fp tolerance."""
+    rng = np.random.RandomState(11)
+    n_ids, per_id, d = 5, 6, 10
+    ids = np.repeat(np.arange(n_ids), per_id)
+    cams = np.arange(ids.size) % 3
+    centers = rng.randn(n_ids, d)
+    feat = (centers[ids] + 0.6 * rng.randn(ids.size, d)).astype(np.float32)
+    # duplicate pairs of images -> identical k-reciprocal neighborhoods
+    feat[1::3] = feat[0::3]
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    marks = np.where(np.arange(ids.size) % per_id == 0, 0, 1)
+
+    from pps_tpu.evaluation.evaluator import evaluate
+    ref = evaluate(feat, ids, cams, marks, to_re_rank=True)
+    dev = evaluate(feat, ids, cams, marks, to_re_rank=True,
+                   device_single_query=True, device_rerank=True)
+    for block in ('single', 'single_rerank'):
+        np.testing.assert_allclose(dev[block]['mAP'], ref[block]['mAP'],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(dev[block]['cmc1'], ref[block]['cmc1'],
+                                   rtol=1e-5, atol=1e-6)

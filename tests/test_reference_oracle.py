@@ -15,33 +15,18 @@ reference's own code" (VERDICT.md round-1 item #1):
     reimplementation stays within the published step-vs-trapezoid gap.
 """
 
-import ast
-from collections import defaultdict
-
 import numpy as np
 import pytest
 
-REF = '/root/reference/detectron/datasets/reid_dataset_evaluator.py'
-ORACLE_FNS = ('compute_dist', '_unique_sample', 'cmc', 'mean_ap',
-              're_ranking')
+from pps_tpu.evaluation.reference_oracle import (
+    load_oracle, evaluate_with_oracle)
 
 
 @pytest.fixture(scope='module')
 def oracle():
-    """Exec the reference's pure-numpy oracle functions from source."""
-    with open(REF) as f:
-        tree = ast.parse(f.read())
-    wanted = [n for n in tree.body
-              if isinstance(n, ast.FunctionDef) and n.name in ORACLE_FNS]
-    assert len(wanted) == len(ORACLE_FNS), 'reference source drifted'
-    from sklearn.metrics import average_precision_score
-    from sklearn.preprocessing import normalize
-    ns = dict(np=np, defaultdict=defaultdict,
-              average_precision_score=average_precision_score,
-              normalize=normalize, print=lambda *a, **k: None)
-    code = compile(ast.Module(body=wanted, type_ignores=[]), REF, 'exec')
-    exec(code, ns)
-    return ns
+    """The reference's pure-numpy oracle functions, exec'd from source
+    (shared loader: pps_tpu/evaluation/reference_oracle.py)."""
+    return load_oracle()
 
 
 def _random_reid_problem(seed, n_ids=16, per_id=6, d=64):
@@ -146,3 +131,63 @@ def test_mean_ap_sklearn_delta_characterized(oracle):
     from pps_tpu.evaluation.device_eval import cmc_map_device
     m_ap_dev, _ = cmc_map_device(dm, ids[q], ids[~q], cams[q], cams[~q])
     assert abs(float(m_ap_dev) - ours) < 1e-5
+
+
+def _random_marked_problem(seed, n_ids=12, per_id=8, d=48):
+    """Full test-set layout: per id, 2 queries (mark 0), 2 multi-query
+    extras (mark 2), rest gallery (mark 1)."""
+    rng = np.random.RandomState(seed)
+    n = n_ids * per_id
+    ids = np.repeat(np.arange(1, n_ids + 1), per_id)
+    cams = rng.randint(0, 4, size=n)
+    centers = rng.randn(n_ids, d)
+    feat = centers[ids - 1] + 0.7 * rng.randn(n, d)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    j = np.tile(np.arange(per_id), n_ids)
+    marks = np.where(j < 2, 0, np.where(j < 4, 2, 1))
+    return feat.astype(np.float32), ids, cams, marks
+
+
+def test_whole_evaluator_flow_oracle():
+    """The FULL evaluation flow — mark splitting, Market protocol,
+    multi-query pooling, re-rank blending — against the same flow
+    composed purely from the reference's own exec'd functions
+    (reference reid_dataset_evaluator.py:29-209), with the pinned-0.18.1
+    AP in both so the comparison isolates the glue, not the known
+    installed-sklearn AP delta."""
+    from pps_tpu.evaluation.evaluator import evaluate
+
+    feat, ids, cams, marks = _random_marked_problem(21)
+    ref = evaluate_with_oracle(load_oracle(pinned_ap=True), feat, ids,
+                               cams, marks, to_re_rank=True)
+    ours = evaluate(feat, ids, cams, marks, to_re_rank=True)
+
+    assert set(ref) == {'single', 'multi', 'single_rerank', 'multi_rerank'}
+    for block in ref:
+        assert block in ours, block
+        np.testing.assert_allclose(
+            ours[block]['mAP'], ref[block]['mAP'], rtol=1e-6, atol=1e-7,
+            err_msg=block)
+        np.testing.assert_allclose(
+            ours[block]['cmc'], ref[block]['cmc'], rtol=1e-6, atol=1e-7,
+            err_msg=block)
+
+
+def test_whole_evaluator_flow_oracle_device_paths():
+    """Same whole-flow oracle, but against the DEVICE-scored pipeline
+    (device_eval + sparse-set device re-ranking) — the default TPU path
+    in engine/test.py."""
+    from pps_tpu.evaluation.evaluator import evaluate
+
+    feat, ids, cams, marks = _random_marked_problem(22)
+    ref = evaluate_with_oracle(load_oracle(pinned_ap=True), feat, ids,
+                               cams, marks, to_re_rank=True)
+    dev = evaluate(feat, ids, cams, marks, to_re_rank=True,
+                   device_single_query=True, device_rerank=True)
+    for block in ref:
+        np.testing.assert_allclose(
+            dev[block]['mAP'], ref[block]['mAP'], rtol=1e-5, atol=1e-6,
+            err_msg=block)
+        np.testing.assert_allclose(
+            dev[block]['cmc'], ref[block]['cmc'], rtol=1e-5, atol=1e-6,
+            err_msg=block)

@@ -106,13 +106,24 @@ def tiny_train_cfg(tmp_path):
     return cfg
 
 
-def test_train_eval_resume(tiny_train_cfg, tmp_path, capsys):
+def test_train_eval_resume(tiny_train_cfg, tmp_path, capsys, caplog):
+    import logging
     c = tiny_train_cfg
     out_dir = str(tmp_path / 'out')
     decode = _class_decoder(N_IDS)
 
+    caplog.set_level(logging.INFO, logger='pps_tpu.engine.train')
     ckpts = train_model(c, output_dir=out_dir, decode_fn=decode,
                         num_workers=2, log_period=1)
+    # SOLVER.LOG_LR_CHANGE_THRESHOLD: the gamma=0.5 step at epoch 2
+    # (ratio 2 > 1.1) logs independently of momentum scaling
+    # (reference detector.py:506-515)
+    assert any('Changing learning rate' in r.message
+               for r in caplog.records)
+    # iter-timer reset at start + LOG_PERIOD sheds compile outliers from
+    # time/ETA (reference utils/train.py:116-119)
+    assert any('Resetting iteration timer' in r.message
+               for r in caplog.records)
     assert 'final' in ckpts
     assert os.path.exists(ckpts['final'])
     # epoch snapshots saved with reference naming (epoch 3 is triplet-odd

@@ -39,6 +39,8 @@ def parse_args():
 
 
 def main():
+    from pps_tpu.utils.env import apply_platform_env
+    apply_platform_env()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine.test import run_inference
@@ -54,7 +56,8 @@ def main():
         merge_cfg_from_list(args.opts)
     if args.vis:
         cfg.REID.VIS = True
-    assert_and_infer_cfg(make_immutable=False)
+    # freeze after the merge (reference test_net.py:101 + config.py:1165)
+    assert_and_infer_cfg()
     logger.info('Testing with config:\n%s', pprint.pformat(cfg))
 
     weights = cfg.TEST.WEIGHTS
@@ -63,8 +66,9 @@ def main():
         logger.info('Waiting for \'%s\' to exist...', weights)
         time.sleep(10)
 
-    results = run_inference(cfg, weights_file=weights,
-                            output_dir=cfg.OUTPUT_DIR)
+    # eval artifacts land in <OUTPUT_DIR>/test/<dataset>/ per dataset
+    # (the get_output_dir convention, reference test_engine.py:108)
+    results = run_inference(cfg, weights_file=weights)
     check_expected_results(cfg, results)
 
 

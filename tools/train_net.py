@@ -39,6 +39,8 @@ def parse_args():
 
 
 def main():
+    from pps_tpu.utils.env import apply_platform_env
+    apply_platform_env()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine.train import train_model
@@ -53,23 +55,30 @@ def main():
         merge_cfg_from_file(args.cfg_file)
     if args.opts:
         merge_cfg_from_list(args.opts)
-    assert_and_infer_cfg(make_immutable=False)
+    # freeze after the merge (reference train_net.py:100 + config.py:1165):
+    # a stray cfg assignment anywhere on the driver path now raises
+    assert_and_infer_cfg()
     logger.info('Training with config:\n%s', pprint.pformat(cfg))
     np.random.seed(cfg.RNG_SEED)
 
-    checkpoints = train_model(cfg, output_dir=cfg.OUTPUT_DIR)
+    # checkpoints land in <OUTPUT_DIR>/train/<dataset>/ and eval artifacts
+    # in <OUTPUT_DIR>/test/<dataset>/ (the get_output_dir convention,
+    # reference utils/train.py:144, test_engine.py:108)
+    checkpoints = train_model(cfg)
 
     if not args.skip_test:
-        results = run_inference(cfg, weights_file=checkpoints['final'],
-                                output_dir=cfg.OUTPUT_DIR)
+        results = run_inference(cfg, weights_file=checkpoints['final'])
         check_expected_results(cfg, results)
         print('reprint snapshot name for the result: ', checkpoints['final'])
+        # explicit unfreeze around the documented post-train mutations
+        # (reference train_net.py:119-123)
+        cfg.immutable(False)
         cfg.TEST.BBOX_AUG.ENABLED = False
         cfg.REID.VIS = False
+        cfg.immutable(True)
         for snapshot in sorted((k for k in checkpoints if k != 'final'),
                                reverse=True):
-            run_inference(cfg, weights_file=checkpoints[snapshot],
-                          output_dir=cfg.OUTPUT_DIR)
+            run_inference(cfg, weights_file=checkpoints[snapshot])
             print('reprint snapshot name for the result: ', snapshot,
                   checkpoints[snapshot])
 
