@@ -100,11 +100,24 @@ def main():
         run_chain(n)
     ips_ref = 100.0 / (run_chain(104) - run_chain(4)) / n_chips
 
+    # absolute-throughput headline fields (VERDICT r2 #8): analytic fwd
+    # FLOPs/img (utils/flops.py) -> achieved TFLOP/s and MFU vs the
+    # chip's bf16 peak; the device-only batching ratio stays as the
+    # conservative vs_baseline floor.
+    from pps_tpu.utils.flops import model_fwd_flops
+    flops_img = model_fwd_flops(cfg)
+    tflops = ips_chip * flops_img / 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 197e12 if ('v5 lite' in kind or 'v5e' in kind) else (
+        275e12 if 'v5p' in kind else None)  # bf16 peak per chip
     print(json.dumps({
         'metric': 'gallery_extract_imgs_per_sec_per_chip',
         'value': round(ips_chip, 2),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(ips_chip / ips_ref, 2),
+        'tflops_per_chip': round(tflops, 1),
+        'mfu': round(tflops * 1e12 / peak, 3) if peak else None,
+        'device_kind': jax.devices()[0].device_kind,
     }))
 
 

@@ -49,3 +49,96 @@ def test_two_process_shard_batch():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, 'process %d failed:\n%s' % (pid, out)
         assert 'MULTIHOST_OK pid=%d' % pid in out, out
+
+
+def test_two_process_flagship_train(tmp_path):
+    """Real multi-host TRAINING parity (VERDICT r2 #3): the flagship-tiny
+    train step (same cfg as dryrun_multichip — uint8 augment wire,
+    CRM+triplet, donation, optimizer) under 2-process jax.distributed vs
+    the single-process 8-device run.  Assertion fidelity is calibrated
+    per subsystem (see multihost_worker.train_mode for the measured
+    rationale): augmented global batch BITWISE, loss 1e-5 relative,
+    head-side updates tight, body updates bounded by their own update
+    magnitude (different XLA programs -> ulp reduction noise amplified
+    exponentially with backward depth), and orbax checkpoints cross
+    process counts both ways:
+      * parent saves the init state single-process -> workers restore it
+        into the 2-process sharded topology (reshard-on-restore),
+      * workers save the trained state from 2 processes -> parent
+        restores it single-process and compares BITWISE against the
+        workers' own fetched state (worker_state.npz)."""
+    import numpy as np
+    import _mh_train_common as common
+    from pps_tpu.engine import checkpoint as ckpt_lib
+
+    workdir = str(tmp_path)
+
+    # reference: single-process over the same (4 data x 2 model) mesh
+    cfg = common.tiny_flagship_cfg()
+    _, ts0, _, mesh = common.run_two_steps(cfg, n_steps=0)
+    init_ckpt = os.path.join(workdir, 'init.orbax')
+    ckpt_lib.save_checkpoint_orbax(init_ckpt, ts0)
+    ckpt_lib.wait_for_orbax()
+    cfg = common.tiny_flagship_cfg()
+    with mesh:
+        db = common.make_dev_batch(mesh)
+    import jax
+    aug_ref = common.augmented_images(cfg, mesh, db, jax.random.PRNGKey(1))
+    np.save(os.path.join(workdir, 'aug_ref.npy'), aug_ref)
+    cfg = common.tiny_flagship_cfg()
+    _, ts_ref, loss_ref, mesh = common.run_two_steps(
+        cfg, init_ckpt=init_ckpt, n_steps=1)
+    ref = common.fetch_state(ts_ref, mesh)
+    assert loss_ref is not None and np.isfinite(loss_ref)
+    ref['__loss__'] = np.float64(loss_ref)
+    np.savez(os.path.join(workdir, 'ref_state.npz'), **ref)
+
+    coord = '127.0.0.1:%d' % _free_port()
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, str(pid), '2', 'train',
+             workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, 'process %d failed:\n%s' % (pid, out)
+        assert 'MULTIHOST_AUG_BITWISE pid=%d' % pid in out, out
+        assert 'MULTIHOST_TRAIN_OK pid=%d' % pid in out, out
+
+    # save-from-2 -> restore-into-1: the workers' orbax checkpoint
+    # restored in THIS single process equals the workers' own fetched
+    # state bitwise (checkpoint fidelity isolated from the
+    # cross-topology numerics above)
+    import numpy as _np
+    wref = dict(_np.load(os.path.join(workdir, 'worker_state.npz')))
+    # template restore: the checkpoint was written under the 2-process
+    # device topology; ts_ref's shardings re-shard it onto this
+    # process's 8 local devices (the reshard-on-restore contract)
+    restored = ckpt_lib.load_checkpoint_orbax(
+        os.path.join(workdir, 'mh.orbax'), ts_ref)
+    flat = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(prefix + '/' + k if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk('', dict(restored))
+    assert sorted(flat) == sorted(wref)
+    for k in wref:
+        np.testing.assert_array_equal(flat[k], wref[k], err_msg=k)
