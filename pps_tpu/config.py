@@ -263,6 +263,20 @@ __C.USE_NCCL = False  # accepted for yaml compat; collectives are XLA's job
 __C.DOWNLOAD_CACHE = '/tmp/pps-tpu-download-cache'
 __C.VIS = False
 
+# Dormant-but-ACCEPTED keys: these EXIST above (part of the reference's
+# yaml surface for the inherited detection stack) and parse fine, but
+# nothing on the live re-ID path reads them — exactly as in the
+# reference, where the live path ignores them too.  Anything else that
+# is accepted must either be read somewhere or rejected in
+# assert_and_infer_cfg.
+_DORMANT_ACCEPTED = (
+    'TRAIN.SCALES', 'TRAIN.MAX_SIZE', 'TRAIN.BATCH_SIZE_PER_IM',
+    'TRAIN.ASPECT_GROUPING', 'TEST.SCALE', 'TEST.MAX_SIZE',
+    'TEST.PRECOMPUTED_PROPOSALS', 'FPN.COARSEST_STRIDE',
+    'FPN.MULTILEVEL_ROIS', 'FAST_RCNN.MLP_HEAD_DIM', 'USE_NCCL', 'VIS',
+    'REID.PSE_VIEW', 'REID.PSE_WEIGHT',
+)
+
 # Keys from the dormant Detectron surface that reference yamls may still set.
 # They are accepted and ignored (warning) so configs parse unchanged.
 _IGNORED_SUBTREES = {
@@ -285,13 +299,43 @@ _RENAMED_KEYS = {
 
 
 def assert_and_infer_cfg(make_immutable=True):
-    """Validate derived config flags and optionally freeze the config."""
+    """Validate derived config flags and optionally freeze the config.
+
+    Mirrors the reference's contract (reference config.py:1165-1180):
+    validation + URL weight caching + freeze.  Keys whose non-default
+    values would be silently ignored are hard-rejected here instead, so
+    nothing is accepted-but-dead except the documented
+    ``_DORMANT_ACCEPTED`` set.
+    """
     if __C.MODEL.TYPE == 'generalized_reid':
         assert __C.MODEL.NUM_CLASSES > 1, 'REID needs NUM_CLASSES > 1'
     if __C.REID.TRIPLET_LOSS:
         assert __C.REID.P * __C.REID.K == __C.TRAIN.IMS_PER_BATCH, (
             'P*K ({}*{}) must equal TRAIN.IMS_PER_BATCH ({})'.format(
                 __C.REID.P, __C.REID.K, __C.TRAIN.IMS_PER_BATCH))
+    # dead reference paths are rejected loudly: in the reference these
+    # heads call functions that do not exist (apm_heads.py:194,
+    # bpm_pse_heads.py:232), so no working config can set them
+    assert not __C.REID.APM and not __C.REID.PSE_ON, (
+        'REID.APM / REID.PSE_ON select head variants that are dead in '
+        'the reference (they call missing functions) and are not '
+        'implemented here')
+    # the only body variants built are the ones every PPS config uses;
+    # a different TRANS/SHORTCUT/STEM function must fail, not silently
+    # build the default
+    assert __C.RESNETS.TRANS_FUNC == 'bottleneck_transformation', (
+        __C.RESNETS.TRANS_FUNC)
+    assert __C.RESNETS.SHORTCUT_FUNC == 'basic_bn_shortcut', (
+        __C.RESNETS.SHORTCUT_FUNC)
+    assert __C.RESNETS.STEM_FUNC in ('basic_bn_stem', 'basic_gn_stem'), (
+        __C.RESNETS.STEM_FUNC)
+    # URL weights are downloaded once into DOWNLOAD_CACHE and the key
+    # rewritten to the local path (reference config.py:1176-1180)
+    from pps_tpu.utils.io import cache_url
+    for section in ('TRAIN', 'TEST'):
+        w = __C[section].WEIGHTS
+        if w:
+            __C[section].WEIGHTS = cache_url(w, __C.DOWNLOAD_CACHE)
     if make_immutable:
         cfg.immutable(True)
 

@@ -33,6 +33,10 @@ def build_mesh(cfg=None, devices=None, mesh_shape=None):
     """
     if devices is None:
         devices = jax.devices()
+        if cfg is not None and cfg.TPU.NUM_DEVICES > 0:
+            assert cfg.TPU.NUM_DEVICES <= len(devices), (
+                cfg.TPU.NUM_DEVICES, len(devices))
+            devices = devices[:cfg.TPU.NUM_DEVICES]
     n = len(devices)
     if mesh_shape is None:
         mesh_shape = tuple(cfg.TPU.MESH_SHAPE) if cfg is not None else (-1, 1)

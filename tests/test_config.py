@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from pps_tpu import config as core_config
-from pps_tpu.config import cfg
+from pps_tpu.config import (cfg, merge_cfg_from_list, assert_and_infer_cfg,
+                            reset_cfg)
 
 
 def test_defaults():
@@ -67,3 +68,50 @@ def test_pixel_means_coercion():
     core_config.merge_cfg_from_list(['PIXEL_MEANS', '[[[1.0, 2.0, 3.0]]]'])
     assert isinstance(cfg.PIXEL_MEANS, np.ndarray)
     assert cfg.PIXEL_MEANS.shape == (1, 1, 3)
+
+
+def test_dead_head_variants_rejected():
+    """REID.APM / REID.PSE_ON select dead reference paths (their heads
+    call missing functions, reference apm_heads.py:194) — rejected
+    loudly instead of accepted-and-ignored."""
+    merge_cfg_from_list(['REID.APM', 'True'])
+    with pytest.raises(AssertionError):
+        assert_and_infer_cfg(make_immutable=False)
+    reset_cfg()
+    merge_cfg_from_list(['REID.PSE_ON', 'True'])
+    with pytest.raises(AssertionError):
+        assert_and_infer_cfg(make_immutable=False)
+
+
+def test_unknown_body_funcs_rejected():
+    merge_cfg_from_list(['RESNETS.TRANS_FUNC', 'basic_transformation'])
+    with pytest.raises(AssertionError):
+        assert_and_infer_cfg(make_immutable=False)
+    reset_cfg()
+    merge_cfg_from_list(['RESNETS.STEM_FUNC', 'basic_gn_stem'])
+    assert_and_infer_cfg(make_immutable=False)  # GN stem accepted
+
+
+def test_url_weights_cached_on_infer(tmp_path):
+    """assert_and_infer_cfg rewrites URL weights to the DOWNLOAD_CACHE
+    local path (reference config.py:1176-1180); seeded cache, no
+    network egress."""
+    import hashlib
+    payload = b'weights!'
+    cached = tmp_path / 'dl' / 'example.com' / 'R-50.pkl'
+    cached.parent.mkdir(parents=True)
+    cached.write_bytes(payload)
+    merge_cfg_from_list([
+        'DOWNLOAD_CACHE', str(tmp_path / 'dl'),
+        'TRAIN.WEIGHTS', 'https://example.com/R-50.pkl'])
+    assert_and_infer_cfg(make_immutable=False)
+    assert cfg.TRAIN.WEIGHTS == str(cached)
+
+
+def test_tpu_num_devices_limits_mesh():
+    from pps_tpu.parallel import mesh as mesh_lib
+    merge_cfg_from_list(['TPU.NUM_DEVICES', '4',
+                         'TPU.MESH_SHAPE', '(-1, 2)'])
+    m = mesh_lib.build_mesh(cfg)
+    assert m.shape['data'] * m.shape['model'] == 4
+    assert m.shape['model'] == 2
