@@ -37,6 +37,26 @@ _register_default('duke', 'duke')
 _register_default('cuhk03', os.path.join('cuhk03', 'labeled'))
 _register_default('cuhk03_detected', os.path.join('cuhk03', 'detected'))
 
+# remaining reference entries (reference dataset_catalog.py:241-276):
+# wanda (an internal re-ID set; same json layout) and ped_attr (consumed
+# only by the attr head, which is dead in the reference — kept so the
+# catalog surface matches name-for-name)
+for _split in ('trainval', 'val', 'test', 'debug'):
+    register_dataset(
+        'wanda_' + _split,
+        os.path.join(_DATA_DIR, 'wanda', 'images'),
+        os.path.join(_DATA_DIR, 'wanda', _split + '.json'))
+for _split in ('trainval', 'debug'):
+    register_dataset(
+        'ped_attr_' + _split,
+        os.path.join(_DATA_DIR, 'ped_attr', 'trainval'),
+        os.path.join(_DATA_DIR, 'ped_attr', _split + '.json'))
+
+
+def datasets():
+    """Available dataset names (reference dataset_catalog.py:datasets)."""
+    return _CATALOG.keys()
+
 
 def contains(name):
     return name in _CATALOG

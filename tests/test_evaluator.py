@@ -1,5 +1,7 @@
 """Evaluator golden tests: pinned-sklearn AP math, CMC protocol, re-ranking."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -172,3 +174,41 @@ def test_multi_query_pooling(rng_np, capsys):
     results = evaluate(feat, ids, cams, marks, to_re_rank=False)
     assert 'multi' in results
     assert 'Multi Query:' in capsys.readouterr().out
+
+
+def test_visualize_rank_lists(tmp_path):
+    """REID.VIS grids: one canvas per query, query + top-k gallery tiles,
+    written under output_dir (reference reid_dataset_evaluator.py:522-591)."""
+    import pytest
+    cv2 = pytest.importorskip('cv2')
+    from pps_tpu.evaluation.visualize import visualize_rank_lists
+
+    rng = np.random.RandomState(0)
+    h, w = 48, 24
+    qdir = tmp_path / 'q'
+    gdir = tmp_path / 'g'
+    qdir.mkdir()
+    gdir.mkdir()
+    q_paths, g_paths = [], []
+    for i in range(3):
+        p = str(qdir / ('%08d_0001_%08d.png' % (i + 1, i + 1)))
+        cv2.imwrite(p, rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        q_paths.append(p)
+    for j in range(8):
+        p = str(gdir / ('%08d_0002_%08d.png' % (j % 3 + 1, 100 + j)))
+        cv2.imwrite(p, rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        g_paths.append(p)
+    q_ids = np.array([1, 2, 3])
+    g_ids = np.array([j % 3 + 1 for j in range(8)])
+    q_cams = np.ones(3, int)
+    g_cams = np.full(8, 2)
+    dm = rng.rand(3, 8)
+
+    out = str(tmp_path / 'vis')
+    visualize_rank_lists(dm, q_ids, g_ids, q_cams, g_cams,
+                         q_paths, g_paths, out, topk=5)
+    written = sorted(os.listdir(out))
+    assert len(written) == 3
+    im = cv2.imread(os.path.join(out, written[0]))
+    assert im is not None and im.shape[0] == h + 8  # 2*border
+    assert im.shape[1] > w * 5  # query + tiles
