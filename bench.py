@@ -108,8 +108,17 @@ def main():
     flops_img = model_fwd_flops(cfg)
     tflops = ips_chip * flops_img / 1e12
     kind = jax.devices()[0].device_kind.lower()
-    peak = 197e12 if ('v5 lite' in kind or 'v5e' in kind) else (
-        275e12 if 'v5p' in kind else None)  # bf16 peak per chip
+    # bf16 peak per chip by device generation (cloud.google.com/tpu docs)
+    if 'v5 lite' in kind or 'v5e' in kind or 'v5litepod' in kind:
+        peak = 197e12
+    elif 'v5p' in kind or 'v5' in kind:
+        peak = 459e12
+    elif 'v6' in kind or 'trillium' in kind:
+        peak = 918e12
+    elif 'v4' in kind:
+        peak = 275e12
+    else:
+        peak = None
     print(json.dumps({
         'metric': 'gallery_extract_imgs_per_sec_per_chip',
         'value': round(ips_chip, 2),

@@ -195,7 +195,7 @@ class ReIDLoader(object):
                     # H2D copies overlap the current step's compute — the
                     # BlobsQueue analog, reference loader.py:256-279)
                     for s in range(step + 1,
-                                   min(step + self._device_prefetch,
+                                   min(step + 1 + self._device_prefetch,
                                        issued)):
                         if s not in self._dev_ready and \
                                 self._slots[s] is not None:

@@ -56,7 +56,9 @@ def _head_entries(model):
 
 
 def _head_state_entries(model):
-    if model.head_spec.get('use_gn'):
+    # ConvGN and AffineChannel (MODEL.USE_BN=False) heads carry no
+    # running stats — reference checkpoints for those have no rm/riv
+    if model.head_spec.get('use_gn') or model.head_spec.get('use_affine'):
         return
     prefix = model.head_param_prefix
     for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):

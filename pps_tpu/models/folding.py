@@ -28,16 +28,23 @@ def fold_conv_bn(params, state):
         # stem quirk: conv1_w pairs with res_conv1_bn (reference
         # ResNet.py:246-251 naming)
         bn = 'res_conv1_bn' if base == 'conv1' else base + '_bn'
-        if bn + '_s' not in params or bn + '_rm' not in state:
+        if bn + '_s' not in params:
             continue
         w = params[name]
         if w.ndim not in (2, 4):
             continue  # stacked head convs pair with differently-named BN
-        inv = params[bn + '_s'] / jnp.sqrt(state[bn + '_riv'] + BN_EPSILON)
+        if bn + '_rm' in state:
+            inv = params[bn + '_s'] / jnp.sqrt(state[bn + '_riv'] +
+                                               BN_EPSILON)
+        else:
+            # AffineChannel (MODEL.USE_BN=False): y = x*s + b folds as
+            # w' = w*s, fb = b — no statistics to absorb
+            inv = params[bn + '_s']
         # broadcasts over the out dim: HWIO 4-D convs and [C_in, C_out]
         # 2-D FPN einsum weights both keep C_out last
         folded[name] = w * inv
-        fb = params[bn + '_b'] - state[bn + '_rm'] * inv
+        fb = params[bn + '_b'] - (
+            state[bn + '_rm'] * inv if bn + '_rm' in state else 0.0)
         if base + '_b' in params:  # FPN convs carry a conv bias too
             fb = fb + params[base + '_b'] * inv
         folded[base + '_fb'] = fb

@@ -72,6 +72,13 @@ def resnet_spec(cfg, depth=50):
         # GroupNorm body (MODEL.USE_GN; reference ResNet.py:223-238,340-395
         # + utils/net.py:291-305 get_group_gn)
         'use_gn': bool(cfg.MODEL.USE_GN),
+        # MODEL.USE_BN=False -> AffineChannel: y = x*s + b with NO
+        # normalization and no running stats — the reference's
+        # small-minibatch mode where the BN statistics are pre-folded
+        # into the loaded weights (reference detector.py:82-109).
+        # Same _bn_s/_bn_b param names as SpatialBN; ignored under GN
+        # (the GN body uses ConvGN regardless, as in the reference).
+        'use_affine': not bool(cfg.MODEL.USE_BN),
         'gn_dim_per_gp': cfg.GROUP_NORM.DIM_PER_GP,
         'gn_num_groups': cfg.GROUP_NORM.NUM_GROUPS,
         'gn_eps': cfg.GROUP_NORM.EPSILON,
@@ -109,7 +116,7 @@ def _msra_fill(rng, shape):
 
 
 def _init_conv_bn(rngs, params, state, name, kh, kw, c_in, c_out,
-                  use_gn=False):
+                  use_gn=False, use_affine=False):
     params[name + '_w'] = _msra_fill(next(rngs), (kh, kw, c_in, c_out))
     if use_gn:  # ConvGN: no running stats (reference detector.py:449-489)
         params[name + '_gn_s'] = jnp.ones((c_out,), jnp.float32)
@@ -117,6 +124,8 @@ def _init_conv_bn(rngs, params, state, name, kh, kw, c_in, c_out,
         return
     params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
     params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
+    if use_affine:  # AffineChannel: no stats (reference detector.py:90-109)
+        return
     state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
     state[name + '_bn_riv'] = jnp.ones((c_out,), jnp.float32)
 
@@ -130,6 +139,7 @@ def init_resnet_params(rng, spec):
 
     rngs = rng_iter(rng)
     use_gn = spec.get('use_gn', False)
+    use_affine = spec.get('use_affine', False) and not use_gn
     params, state = {}, {}
     # stem: conv1 7x7/2 + bn (named res_conv1_bn; reference ResNet.py:246-251)
     # GN stem names its norm conv1_gn (reference ResNet.py:258-268)
@@ -140,8 +150,9 @@ def init_resnet_params(rng, spec):
     else:
         params['res_conv1_bn_s'] = jnp.ones((64,), jnp.float32)
         params['res_conv1_bn_b'] = jnp.zeros((64,), jnp.float32)
-        state['res_conv1_bn_rm'] = jnp.zeros((64,), jnp.float32)
-        state['res_conv1_bn_riv'] = jnp.ones((64,), jnp.float32)
+        if not use_affine:
+            state['res_conv1_bn_rm'] = jnp.zeros((64,), jnp.float32)
+            state['res_conv1_bn_riv'] = jnp.ones((64,), jnp.float32)
 
     dim_in = 64
     for (stage, n_blocks, dim_out, dim_inner, _stride, _dil) in spec['stages']:
@@ -149,14 +160,17 @@ def init_resnet_params(rng, spec):
             prefix = '{}_{}'.format(stage, i)
             if i == 0 and dim_in != dim_out:
                 _init_conv_bn(rngs, params, state, prefix + '_branch1',
-                              1, 1, dim_in, dim_out, use_gn=use_gn)
+                              1, 1, dim_in, dim_out, use_gn=use_gn,
+                              use_affine=use_affine)
             _init_conv_bn(rngs, params, state, prefix + '_branch2a',
-                          1, 1, dim_in, dim_inner, use_gn=use_gn)
+                          1, 1, dim_in, dim_inner, use_gn=use_gn,
+                          use_affine=use_affine)
             _init_conv_bn(rngs, params, state, prefix + '_branch2b',
                           3, 3, dim_inner // spec['num_groups'], dim_inner,
-                          use_gn=use_gn)
+                          use_gn=use_gn, use_affine=use_affine)
             _init_conv_bn(rngs, params, state, prefix + '_branch2c',
-                          1, 1, dim_inner, dim_out, use_gn=use_gn)
+                          1, 1, dim_inner, dim_out, use_gn=use_gn,
+                          use_affine=use_affine)
             dim_in = dim_out
     return params, state
 
@@ -236,6 +250,12 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
     if not train and (name + '_fb') in params:
         # BN pre-folded into the conv (models/folding.py): add bias only
         return y + params[name + '_fb'].astype(y.dtype)
+    if spec is not None and spec.get('use_affine'):
+        # AffineChannel: y*s + b, no normalization (reference
+        # detector.py:90-109; stats live pre-folded in the weights)
+        yf = y.astype(jnp.float32) * params[name + '_bn_s'] + \
+            params[name + '_bn_b']
+        return yf.astype(y.dtype)
     y, upd = batch_norm(y, {'_s': params[name + '_bn_s'],
                             '_b': params[name + '_bn_b']},
                         {'_rm': state[name + '_bn_rm'],
@@ -301,6 +321,9 @@ def apply_resnet(params, state, x, spec, train=False,
                          _gn_groups(spec, 64), spec['gn_eps'])
     elif not train and 'conv1_fb' in params:
         cur = cur + params['conv1_fb'].astype(cur.dtype)
+    elif spec.get('use_affine'):
+        cur = (cur.astype(jnp.float32) * params['res_conv1_bn_s'] +
+               params['res_conv1_bn_b']).astype(cur.dtype)
     else:
         cur, upd = batch_norm(
             cur,

@@ -34,9 +34,27 @@ def build_mesh(cfg=None, devices=None, mesh_shape=None):
     if devices is None:
         devices = jax.devices()
         if cfg is not None and cfg.TPU.NUM_DEVICES > 0:
-            assert cfg.TPU.NUM_DEVICES <= len(devices), (
-                cfg.TPU.NUM_DEVICES, len(devices))
-            devices = devices[:cfg.TPU.NUM_DEVICES]
+            want = cfg.TPU.NUM_DEVICES
+            assert want <= len(devices), (want, len(devices))
+            if jax.process_count() > 1:
+                # take want/nprocs from EACH process's addressable
+                # devices: a global-prefix slice could leave a process
+                # with none of its own devices in the mesh (collectives
+                # would then deadlock / shardings be unaddressable)
+                nproc = jax.process_count()
+                assert want % nproc == 0, (
+                    'TPU.NUM_DEVICES (%d) must be divisible by '
+                    'process_count (%d)' % (want, nproc))
+                per = want // nproc
+                by_proc = {}
+                for d in devices:
+                    by_proc.setdefault(d.process_index, []).append(d)
+                assert all(len(v) >= per for v in by_proc.values()), (
+                    'some process has fewer than %d devices' % per)
+                devices = [d for p in sorted(by_proc)
+                           for d in by_proc[p][:per]]
+            else:
+                devices = devices[:want]
     n = len(devices)
     if mesh_shape is None:
         mesh_shape = tuple(cfg.TPU.MESH_SHAPE) if cfg is not None else (-1, 1)

@@ -70,7 +70,7 @@ def test_head_apply_shapes_and_bn():
         'MODEL.NUM_CLASSES', '11', 'REID.BPM_STRIP_NUM', '3',
         'REID.BPM_DIM', '16', 'FAST_RCNN.ROI_BOX_HEAD',
         'pps_heads.add_pps_part_head', 'REID.MAX_AVE_FEATURE', 'True',
-        'REID.DROPOUT_FEATURE', 'True',
+        'REID.DROPOUT_FEATURE', 'True', 'MODEL.USE_BN', 'True',
     ])
     spec = heads.head_spec(cfg, 1.0 / 16)
     assert len(spec['combos']) == 7

@@ -105,3 +105,70 @@ def test_gn_body_builds_and_extracts():
     out = model.train_forward(params, state, batch, jax.random.PRNGKey(1),
                               1.0)
     assert np.isfinite(float(out[0]))
+
+
+def test_affine_channel_body(tmp_path):
+    """MODEL.USE_BN=False -> AffineChannel everywhere BN would be: no
+    running stats anywhere, y = x*s + b exactly (reference
+    detector.py:82-109), trainable s/b, and eval folding absorbs s into
+    the conv and leaves fb == b."""
+    c = _small('pps_heads.add_pps_part_head', 3, 8,
+               extra=['MODEL.USE_BN', 'False',
+                      'REID.MAX_AVE_FEATURE', 'True'])
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert not any(k.endswith(('_rm', '_riv')) for k in state), (
+        [k for k in state if k.endswith(('_rm', '_riv'))])
+    assert 'res2_0_branch2a_bn_s' in params  # same names as SpatialBN
+    assert 'pps_bn_s' in params
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 32, 3),
+                    jnp.float32)
+    emb = model.extract_features(params, state, x)
+    assert emb.shape == (2, model.embedding_dim)
+
+    # affine semantics through the module's own branch: _conv_bn in
+    # train mode must be exactly conv*s + b (a BN would subtract batch
+    # statistics first)
+    from pps_tpu.models import resnet as resnet_lib
+    x64 = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 64),
+                      jnp.float32)
+    got = resnet_lib._conv_bn(x64, params, state, {}, 'res2_0_branch2a',
+                              train=True, spec=model.resnet_spec)
+    want = (resnet_lib.conv2d(x64, params['res2_0_branch2a_w']) *
+            params['res2_0_branch2a_bn_s'] +
+            params['res2_0_branch2a_bn_b'])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # train forward runs, is finite, and emits no BN state updates
+    batch = {'data': x, 'labels_int32': jnp.asarray([0, 1], jnp.int32),
+             'labels_oh': jnp.asarray(np.eye(6, dtype=np.float32)[[0, 1]])}
+    out = model.train_forward(params, state, batch, jax.random.PRNGKey(1),
+                              1.0)
+    assert np.isfinite(float(out[0]))
+
+    # eval folding: w' = w*s, fb == b
+    from pps_tpu.models.folding import fold_conv_bn
+    folded = fold_conv_bn(params, state)
+    np.testing.assert_allclose(
+        np.asarray(folded['res2_0_branch2a_fb']),
+        np.asarray(params['res2_0_branch2a_bn_s'] * 0.0 +
+                   params['res2_0_branch2a_bn_b']))
+    emb_folded = model.extract_features(folded, state, x)
+    np.testing.assert_allclose(np.asarray(emb_folded), np.asarray(emb),
+                               rtol=2e-3, atol=2e-3)
+
+    # reference-pkl interop: affine checkpoints carry per-combo _bn_s/_b
+    # but NO running stats, and round-trip bitwise
+    import pickle
+    from pps_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
+    path = str(tmp_path / 'affine.pkl')
+    save_checkpoint(path, model, params, state, cfg=c)
+    blobs = pickle.load(open(path, 'rb'))['blobs']
+    assert not any(k.endswith(('_rm', '_riv')) for k in blobs)
+    assert 'pps0_bn_s' in blobs
+    p2, s2, _ = load_checkpoint(path, model, params, state)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(p2[k]),
+                                      np.asarray(params[k]), err_msg=k)
