@@ -119,6 +119,19 @@ def main():
         peak = 275e12
     else:
         peak = None
+    # int8 PTQ serving path (TPU.INT8_EVAL, models/quantize.py): measured
+    # as an extra field; the headline stays the full-precision default.
+    # Guarded: a failure here must not lose the primary measurement.
+    ips_int8 = None
+    try:
+        from pps_tpu.models.quantize import quantize_for_eval
+        qparams = jax.device_put(quantize_for_eval(
+            model, params, state, np.asarray(images[:256])))
+        ips_int8 = _throughput(fn, (qparams, state, images),
+                               batch) / n_chips
+    except Exception:
+        pass
+
     print(json.dumps({
         'metric': 'gallery_extract_imgs_per_sec_per_chip',
         'value': round(ips_chip, 2),
@@ -126,6 +139,8 @@ def main():
         'vs_baseline': round(ips_chip / ips_ref, 2),
         'tflops_per_chip': round(tflops, 1),
         'mfu': round(tflops * 1e12 / peak, 3) if peak else None,
+        'int8_imgs_per_sec_per_chip': (round(ips_int8, 2)
+                                       if ips_int8 else None),
         'device_kind': jax.devices()[0].device_kind,
     }))
 

@@ -239,6 +239,12 @@ __C.TPU.DEVICE_EVAL = True
 # written as a pkl for reference interop, and the pkl converter functions
 # remain available in either mode (engine/checkpoint.py).
 __C.TPU.CKPT_FORMAT = 'pkl'
+# int8 post-training quantization for test-set extraction
+# (models/quantize.py): fold BN, calibrate static activation scales on the
+# first INT8_CALIB_IMAGES test images, and run the conv body as
+# s8 x s8 -> s32 on the MXU (~2x bf16 peak).  Embedding head stays f32.
+__C.TPU.INT8_EVAL = False
+__C.TPU.INT8_CALIB_IMAGES = 256
 # Rematerialize the conv body in the backward pass (jax.checkpoint): trades
 # ~2x backbone forward FLOPs for not storing its activations — the memonger
 # analog (reference utils/train.py:196-207) for large-batch training.

@@ -261,6 +261,19 @@ def extract_dataset_features(cfg, model, params, state, roidb,
     return feats
 
 
+def quantize_params_for_dataset(cfg, model, params, state, roidb,
+                                decode_fn=None):
+    """int8 PTQ for extraction (TPU.INT8_EVAL, models/quantize.py):
+    calibrates static activation scales on the first
+    TPU.INT8_CALIB_IMAGES test images (host-preprocessed — calibration
+    is a one-off) and returns BN-folded, body-quantized params."""
+    from pps_tpu.models.quantize import quantize_for_eval
+    n = max(1, min(int(cfg.TPU.INT8_CALIB_IMAGES), len(roidb)))
+    calib = preprocess_images(roidb[:n], cfg, decode_fn=decode_fn)
+    logger.info('int8 PTQ: calibrating on %d images', n)
+    return quantize_for_eval(model, params, state, calib)
+
+
 def test_net(cfg, weights_file, dataset_name, output_dir=None,
              decode_fn=None):
     """Extract features for a test dataset; save features.pkl."""
@@ -275,6 +288,9 @@ def test_net(cfg, weights_file, dataset_name, output_dir=None,
             params, state, _ = ckpt_lib.load_checkpoint(
                 weights_file, model, params, state)
     roidb = roidb_for_test(dataset_name)
+    if cfg.TPU.INT8_EVAL:
+        params = quantize_params_for_dataset(cfg, model, params, state,
+                                             roidb, decode_fn=decode_fn)
     feats = extract_dataset_features(cfg, model, params, state, roidb,
                                      decode_fn=decode_fn)
     if output_dir:

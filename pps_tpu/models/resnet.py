@@ -202,6 +202,35 @@ def conv2d(x, w, stride=1, dilation=1, padding='SAME_LOWER', dtype=None,
     )
 
 
+def conv2d_int8(x, wq, xinv, osc, fb, stride=1, dilation=1, groups=1,
+                dtype=None):
+    """Quantized NHWC conv for the int8 PTQ serving path
+    (models/quantize.py): s8 x s8 -> s32 on the MXU (2x bf16 peak on
+    v5e-class chips), then a fused dequant epilogue.
+
+    x is bf16/f32; xinv = 1/input_scale (scalar), wq int8 HWIO with
+    per-output-channel scales folded into osc = in_scale * w_scale[c],
+    fb = the BN-folded bias (models/folding.py).  Same SAME_LOWER pad
+    convention as conv2d.
+    """
+    kh, kw = wq.shape[0], wq.shape[1]
+    ph = ((kh - 1) * dilation) // 2
+    pw = ((kw - 1) * dilation) // 2
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * xinv),
+                  -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(stride, stride),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    yf = y.astype(jnp.float32) * osc + fb
+    return yf.astype(dtype if dtype is not None else x.dtype)
+
+
 def batch_norm(x, params, state, name, train, stats_axes=(0, 1, 2)):
     """SpatialBN with Caffe2 semantics (eps 1e-5, momentum 0.9, biased batch
     variance).  Returns (y, state_updates) where state_updates is {} in eval
@@ -242,6 +271,19 @@ def group_norm(x, s, b, groups, eps=1e-5):
 
 def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
              dtype=None, groups=1, spec=None):
+    if not train:
+        if spec is not None and spec.get('calibrate'):
+            # int8 PTQ calibration capture (models/quantize.py): record
+            # the absmax of this conv's input through the updates thread
+            updates['__amax__' + name] = jnp.max(
+                jnp.abs(x.astype(jnp.float32)))
+        if (name + '_wq') in params:
+            # int8 serving path: BN folded into (_wq, _osc, _fb)
+            return conv2d_int8(
+                x, params[name + '_wq'], params[name + '_xinv'],
+                params[name + '_osc'], params[name + '_fb'],
+                stride=stride, dilation=dilation, groups=groups,
+                dtype=dtype)
     y = conv2d(x, params[name + '_w'], stride=stride, dilation=dilation,
                dtype=dtype, groups=groups)
     if spec is not None and spec.get('use_gn'):
@@ -272,7 +314,8 @@ def bottleneck_block(x, params, state, updates, prefix, stride, dilation,
     str1, str3 = (stride, 1) if stride_1x1 else (1, stride)
 
     shortcut = x
-    if (prefix + '_branch1_w') in params:
+    if (prefix + '_branch1_w') in params or \
+            (prefix + '_branch1_wq') in params:
         shortcut = _conv_bn(x, params, state, updates, prefix + '_branch1',
                             train, stride=stride, dtype=dtype, spec=spec)
 
@@ -315,6 +358,18 @@ def apply_resnet(params, state, x, spec, train=False,
     dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
         spec.get('dtype', 'float32')]
     updates = {}
+    if not train and spec.get('calibrate'):
+        updates['__amax__conv1'] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if not train and 'conv1_wq' in params:
+        cur = conv2d_int8(x, params['conv1_wq'], params['conv1_xinv'],
+                          params['conv1_osc'], params['conv1_fb'],
+                          stride=2, dtype=dtype)
+        cur = jax.nn.relu(cur)
+        cur = max_pool_3x3_s2(cur)
+        if spec['freeze_at'] == 1:
+            cur = jax.lax.stop_gradient(cur)
+        return _apply_stages(params, state, cur, spec, train, dtype,
+                             updates, return_stages)
     cur = conv2d(x, params['conv1_w'], stride=2, dtype=dtype)
     if spec.get('use_gn'):
         cur = group_norm(cur, params['conv1_gn_s'], params['conv1_gn_b'],
@@ -338,7 +393,12 @@ def apply_resnet(params, state, x, spec, train=False,
     cur = max_pool_3x3_s2(cur)
     if spec['freeze_at'] == 1:
         cur = jax.lax.stop_gradient(cur)
+    return _apply_stages(params, state, cur, spec, train, dtype, updates,
+                         return_stages)
 
+
+def _apply_stages(params, state, cur, spec, train, dtype, updates,
+                  return_stages):
     stages = {}
     for si, (stage, n_blocks, _dim_out, _dim_inner, stride,
              dilation) in enumerate(spec['stages']):
