@@ -128,6 +128,26 @@ def test_quantize_fpn_body_only():
     assert cos.min() > 0.995, cos
 
 
+def test_engine_wiring_quantizes_from_roidb():
+    """TPU.INT8_EVAL engine hook: calibrates off roidb images through
+    the host preprocessing path and returns body-quantized params."""
+    from pps_tpu.engine.test import quantize_params_for_dataset
+    model, params, state, _ = _tiny_model()
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_CALIB_IMAGES = 4
+    rng = np.random.RandomState(3)
+    ims = [(rng.rand(96, 32, 3) * 255).astype('u1') for _ in range(6)]
+    roidb = [dict(image='mem://%d' % i, height=96, width=32)
+             for i in range(6)]
+    qp = quantize_params_for_dataset(
+        cfg, model, params, state, roidb,
+        decode_fn=lambda p: ims[int(p.split('//')[1])])
+    assert 'conv1_wq' in qp and 'conv1_w' not in qp
+    x = jnp.asarray(rng.randn(2, 96, 32, 3).astype('f4') * 50)
+    out = np.asarray(model.extract_features(qp, state, x))
+    assert np.all(np.isfinite(out))
+
+
 def test_int8_extract_through_mesh():
     """The jitted sharded extraction path (make_extract_fn) runs the
     auto-detected int8 graph over the 8-device CPU mesh."""

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def capture_trace(trace_dir, batch, steps, eval_path=False, dtype='bfloat16'):
+def capture_trace(trace_dir, batch, steps, eval_path=False, dtype='bfloat16',
+                  int8=False):
     import jax
     import jax.numpy as jnp
     from pps_tpu.utils.env import configure_jax_cache
@@ -44,6 +45,12 @@ def capture_trace(trace_dir, batch, steps, eval_path=False, dtype='bfloat16'):
     rng = np.random.RandomState(0)
 
     if eval_path:
+        if int8:
+            # int8 PTQ serving graph (models/quantize.py, TPU.INT8_EVAL)
+            from pps_tpu.models.quantize import quantize_for_eval
+            calib = (rng.randn(64, h, w, 3) * 50).astype(np.float32)
+            params = jax.device_put(
+                quantize_for_eval(model, params, state, calib))
         fn = jax.jit(lambda pr, st, x: model.extract_features(pr, st, x))
         x = jax.device_put(rng.randn(batch, h, w, 3).astype(np.float32))
         float(jnp.sum(fn(params, state, x)))  # compile
@@ -144,12 +151,15 @@ def main():
     ap.add_argument('--steps', type=int, default=10)
     ap.add_argument('--top', type=int, default=15)
     ap.add_argument('--eval', action='store_true')
+    ap.add_argument('--int8', action='store_true',
+                    help='with --eval: trace the int8 PTQ serving graph')
     ap.add_argument('--dtype', default='bfloat16')
     ap.add_argument('--trace-dir', default=None)
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix='pps_trace_')
     cfg = capture_trace(trace_dir, args.batch, args.steps,
-                        eval_path=args.eval, dtype=args.dtype)
+                        eval_path=args.eval, dtype=args.dtype,
+                        int8=args.int8)
     print('trace: %s' % trace_dir)
     analyze(trace_dir, args.top)
 
