@@ -30,6 +30,16 @@ def main():
     parser.add_argument('--fold-bn', dest='fold_bn', action='store_true',
                         help='fold backbone BN into conv weights before '
                              'export (models/folding.py)')
+    parser.add_argument('--int8', action='store_true',
+                        help='export the int8 PTQ serving graph '
+                             '(models/quantize.py; implies BN folding). '
+                             'Requires --calib-npy or --calib-dataset')
+    parser.add_argument('--calib-npy', default='',
+                        help='[N,H,W,3] float32 .npy of preprocessed '
+                             '(BGR mean-subtracted) calibration images')
+    parser.add_argument('--calib-dataset', default='',
+                        help='calibrate on the first TPU.INT8_CALIB_IMAGES '
+                             'images of this catalog dataset')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -56,7 +66,26 @@ def main():
     if args.weights:
         params, state, _ = ckpt_lib.load_checkpoint(
             args.weights, model, params, state)
-    if args.fold_bn:
+    if args.int8:
+        # quantize from the un-folded params (quantize_for_eval folds
+        # internally), so --fold-bn is subsumed
+        import numpy as np
+        from pps_tpu.models.quantize import quantize_for_eval
+        if args.calib_npy:
+            calib = np.load(args.calib_npy)
+        elif args.calib_dataset:
+            from pps_tpu.data.json_dataset import roidb_for_test
+            from pps_tpu.engine.test import preprocess_images
+            roidb = roidb_for_test(args.calib_dataset)
+            n = max(1, min(int(cfg.TPU.INT8_CALIB_IMAGES), len(roidb)))
+            calib = preprocess_images(roidb[:n], cfg)
+        else:
+            parser.error('--int8 requires --calib-npy or --calib-dataset '
+                         '(static activation scales need real data)')
+        params = quantize_for_eval(model, params, state, calib)
+        logger.info('int8 PTQ: quantized %d body convs',
+                    sum(1 for k in params if k.endswith('_wq')))
+    elif args.fold_bn:
         from pps_tpu.models.folding import fold_conv_bn
         params = fold_conv_bn(params, state)
 
