@@ -167,3 +167,21 @@ def test_no_silently_dead_cfg_keys():
     assert not dead, (
         'cfg keys accepted but never read anywhere (add a reader or '
         'list in _DORMANT_ACCEPTED): %s' % dead)
+
+
+def test_all_shipped_configs_load():
+    """Every yaml under configs/ merges and validates (the recipes are
+    API: a yaml that stops loading is a silent break for users)."""
+    import glob
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'configs')
+    yamls = sorted(glob.glob(os.path.join(root, '**', '*.yaml'),
+                             recursive=True))
+    assert len(yamls) >= 15, yamls
+    from pps_tpu.config import (assert_and_infer_cfg, merge_cfg_from_file,
+                                reset_cfg)
+    for y in yamls:
+        reset_cfg()
+        merge_cfg_from_file(y)
+        assert_and_infer_cfg(make_immutable=False)
+    reset_cfg()
