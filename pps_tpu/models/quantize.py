@@ -26,6 +26,14 @@ Recipe (the standard PTQ design, mapped to XLA):
 Only the conv body is quantized (conv1 + res2..res5 — where ~99% of the
 extraction FLOPs are); FPN laterals and the embedding head stay in
 bf16/f32 for embedding fidelity.  Training is untouched.
+
+GroupNorm bodies (MODEL.USE_GN) quantize too — GN is input-dependent so
+nothing folds; the quantized conv carries fb=0 and GN runs on the
+dequantized output — but carry more noise: GN-normalized activations
+have amax/mean ≈ 20, so per-tensor int8 rounding is ~3% relative error
+per layer vs ~0.1% for BN-folded bodies (measured in
+tests/test_quantize.py).  BN bodies (the flagship default) are the
+intended serving target.
 """
 
 import jax
@@ -36,11 +44,17 @@ from pps_tpu.models import resnet as resnet_lib
 from pps_tpu.models.folding import fold_conv_bn
 
 
-def _is_body_conv(base, params):
+def _is_body_conv(base, params, use_gn=False):
     w = params.get(base + '_w')
-    return (w is not None and w.ndim == 4
-            and (base == 'conv1' or base.startswith('res'))
-            and (base + '_fb') in params)
+    if w is None or w.ndim != 4:
+        return False
+    if not (base == 'conv1' or base.startswith('res')):
+        return False
+    if use_gn:
+        # GN isn't foldable (input-dependent stats): the quantized conv
+        # carries fb=0 and GN runs on the dequantized output
+        return (base + '_gn_s') in params
+    return (base + '_fb') in params
 
 
 def calibrate_amax(folded_params, state, spec, image_batches):
@@ -67,15 +81,17 @@ def calibrate_amax(folded_params, state, spec, image_batches):
     return amax
 
 
-def quantize_body(folded_params, amax):
+def quantize_body(folded_params, amax, use_gn=False):
     """Folded params -> int8-quantized body params.
 
     For every body conv ``base``: replaces ``base_w`` with
       base_wq   int8 HWIO weights (per-output-channel symmetric)
       base_xinv f32 scalar, 1 / input_scale
       base_osc  f32 [C_out], input_scale * w_scale[c] (dequant factor)
-    keeping ``base_fb``.  Raises if a body conv has no calibration
-    record (a silently-unquantized layer would corrupt the perf story).
+    keeping ``base_fb`` (synthesized as zeros for GN bodies, where the
+    norm stays a separate op after the conv).  Raises if a body conv has
+    no calibration record (a silently-unquantized layer would corrupt
+    the perf story).
     """
     q = dict(folded_params)
     n_quantized = 0
@@ -83,7 +99,7 @@ def quantize_body(folded_params, amax):
         if not name.endswith('_w'):
             continue
         base = name[:-2]
-        if not _is_body_conv(base, folded_params):
+        if not _is_body_conv(base, folded_params, use_gn=use_gn):
             continue
         if base not in amax:
             raise KeyError(
@@ -96,6 +112,8 @@ def quantize_body(folded_params, amax):
         q[base + '_wq'] = jnp.asarray(wq)
         q[base + '_xinv'] = jnp.float32(1.0 / s_x)
         q[base + '_osc'] = jnp.asarray((s_w * s_x).astype(np.float32))
+        if (base + '_fb') not in q:  # GN body: bias-free quantized conv
+            q[base + '_fb'] = jnp.zeros((w.shape[-1],), jnp.float32)
         del q[name]
         n_quantized += 1
     assert n_quantized, 'no body convs found to quantize'
@@ -117,5 +135,14 @@ def quantize_for_eval(model, params, state, calib_images, batch_size=64):
     # pad the tail so one graph serves all calibration batches
     if len(batches) > 1 and len(batches[-1]) != batch_size:
         batches[-1] = calib_images[-batch_size:]
+    use_gn = bool(model.resnet_spec.get('use_gn'))
+    if use_gn:
+        import logging
+        logging.getLogger(__name__).warning(
+            'int8 PTQ on a GroupNorm body: normalized activations have a '
+            'wide amax/mean ratio, so per-tensor activation quantization '
+            'carries ~3% per-layer relative error (vs ~0.1% for '
+            'BN-folded bodies); validate retrieval quality before '
+            'serving')
     amax = calibrate_amax(folded, state, model.resnet_spec, batches)
-    return quantize_body(folded, amax)
+    return quantize_body(folded, amax, use_gn=use_gn)

@@ -278,6 +278,18 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
             updates['__amax__' + name] = jnp.max(
                 jnp.abs(x.astype(jnp.float32)))
         if (name + '_wq') in params:
+            if spec is not None and spec.get('use_gn'):
+                # GN body: GN is input-dependent (not foldable), so the
+                # quantized conv carries fb=0 and GN runs on the
+                # dequantized output (models/quantize.py)
+                y = conv2d_int8(
+                    x, params[name + '_wq'], params[name + '_xinv'],
+                    params[name + '_osc'], params[name + '_fb'],
+                    stride=stride, dilation=dilation, groups=groups,
+                    dtype=dtype)
+                return group_norm(
+                    y, params[name + '_gn_s'], params[name + '_gn_b'],
+                    _gn_groups(spec, y.shape[-1]), spec['gn_eps'])
             # int8 serving path: BN folded into (_wq, _osc, _fb)
             return conv2d_int8(
                 x, params[name + '_wq'], params[name + '_xinv'],
@@ -364,6 +376,10 @@ def apply_resnet(params, state, x, spec, train=False,
         cur = conv2d_int8(x, params['conv1_wq'], params['conv1_xinv'],
                           params['conv1_osc'], params['conv1_fb'],
                           stride=2, dtype=dtype)
+        if spec.get('use_gn'):
+            cur = group_norm(cur, params['conv1_gn_s'],
+                             params['conv1_gn_b'],
+                             _gn_groups(spec, 64), spec['gn_eps'])
         cur = jax.nn.relu(cur)
         cur = max_pool_3x3_s2(cur)
         if spec['freeze_at'] == 1:

@@ -128,6 +128,30 @@ def test_quantize_fpn_body_only():
     assert cos.min() > 0.995, cos
 
 
+def test_quantize_gn_body():
+    """GroupNorm body (MODEL.USE_GN): convs quantize with fb=0 and GN
+    runs on the dequantized output (GN stats are input-dependent, so
+    there is nothing to fold)."""
+    model, params, state, images = _tiny_model(extra=[
+        'MODEL.USE_GN', 'True', 'MODEL.USE_BN', 'False',
+        'GROUP_NORM.NUM_GROUPS', '4'])
+    base = np.asarray(model.extract_features(params, state,
+                                             jnp.asarray(images)))
+    qparams = quantize_for_eval(model, params, state, images,
+                                batch_size=4)
+    assert 'conv1_wq' in qparams and 'res5_2_branch2c_wq' in qparams
+    assert float(jnp.max(jnp.abs(qparams['res2_0_branch2a_fb']))) == 0.0
+    out = np.asarray(model.extract_features(qparams, state,
+                                            jnp.asarray(images)))
+    cos = np.sum(out * base, axis=1) / (
+        np.linalg.norm(out, axis=1) * np.linalg.norm(base, axis=1))
+    # GN bodies carry more PTQ noise than BN-folded ones: normalized
+    # activations have amax/mean ~20, so per-tensor int8 rounding is
+    # ~3% relative error per layer (models/quantize.py docstring);
+    # random-init nets are the pessimistic case for the bound
+    assert cos.min() > 0.90, cos
+
+
 def test_engine_wiring_quantizes_from_roidb():
     """TPU.INT8_EVAL engine hook: calibrates off roidb images through
     the host preprocessing path and returns body-quantized params."""
