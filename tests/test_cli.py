@@ -206,3 +206,52 @@ def test_parity_check_cli(tmp_path):
     for block in ('single/mAP', 'multi/mAP', 'single_rerank/mAP',
                   'multi_rerank/mAP'):
         assert block in out, out
+
+
+def test_retrieve_cli_int8_gallery(tmp_path):
+    """tools/retrieve.py serving CLI: embed a gallery dir, answer a query
+    with the int8-quantized device gallery, print ranked matches."""
+    _write_images_and_json(str(tmp_path / 'data'))
+    imdir = str(tmp_path / 'data' / 'market1501' / 'images')
+    cfg_file = str(tmp_path / 'tiny.yaml')
+    with open(cfg_file, 'w') as f:
+        f.write(CFG_YAML.format(nc=N_IDS + 1))
+
+    # random-init checkpoint (retrieval ranking needs no training to
+    # smoke the CLI contract)
+    env = dict(os.environ)
+    env['PPS_TPU_DATA_DIR'] = str(tmp_path / 'data')
+    env['JAX_PLATFORMS'] = 'cpu'
+    flags = env.get('XLA_FLAGS', '')
+    if '--xla_force_host_platform_device_count' not in flags:
+        env['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
+    ckpt = str(tmp_path / 'model.pkl')
+    mk = ("import jax; jax.config.update('jax_platforms','cpu');"
+          "from pps_tpu.config import cfg, merge_cfg_from_file,"
+          "assert_and_infer_cfg;"
+          "merge_cfg_from_file(r'%s'); assert_and_infer_cfg("
+          "make_immutable=False);"
+          "from pps_tpu.models.model import build_model;"
+          "from pps_tpu.engine.checkpoint import save_checkpoint;"
+          "m = build_model(cfg); p, s = m.init(jax.random.PRNGKey(0));"
+          "save_checkpoint(r'%s', m, p, s)" % (cfg_file, ckpt))
+    proc = subprocess.run([sys.executable, '-c', mk], capture_output=True,
+                          text=True, timeout=300, cwd=ROOT, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    query = sorted(os.listdir(imdir))[0]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, 'tools', 'retrieve.py'),
+         '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
+         '--query', os.path.join(imdir, query), '--topk', '3',
+         '--int8-gallery'],
+        capture_output=True, text=True, timeout=540, cwd=ROOT, env=env)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert 'query: ' in out and '#1' in out, out
+    # top hit of a query that is itself in the gallery must be itself
+    # (self-distance ~0 survives int8 gallery quantization)
+    first = [l for l in out.splitlines() if '#1' in l][0]
+    assert query in first, out
+    assert os.path.exists(os.path.join(imdir, 'gallery_features.npz'))

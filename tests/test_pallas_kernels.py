@@ -64,3 +64,37 @@ def test_streaming_topk_approx_matches_exact():
     ad, ai = streaming_topk(q, g, k=10, chunk=256, recall_target=0.95)
     np.testing.assert_allclose(np.asarray(ad), np.asarray(ed), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+
+def test_streaming_topk_int8_gallery():
+    """int8-quantized gallery (quantize_gallery + g_scale): results equal
+    the float path on the DEQUANTIZED gallery exactly, and stay near the
+    f32-gallery results (L2-normalized embeddings: ~1e-3 dot error)."""
+    from pps_tpu.ops.pallas.topk import quantize_gallery
+    rng = np.random.RandomState(7)
+    q = rng.randn(16, 64).astype(np.float32)
+    g = rng.randn(700, 64).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    g8, sc = quantize_gallery(g)
+    assert g8.dtype == np.int8 and sc.shape == (700,)
+
+    d8, i8 = streaming_topk(q, g8, k=10, chunk=128, g_scale=sc)
+    d8, i8 = np.asarray(d8), np.asarray(i8)
+    # exact vs the dequantized gallery
+    gdq = g8.astype(np.float32) * sc[:, None]
+    full = _np_distmat(q, gdq)
+    want_i = np.argsort(full, axis=1, kind='stable')[:, :10]
+    want_d = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(d8, want_d, rtol=1e-4, atol=1e-4)
+    # recall vs the f32 gallery: quantization moves distances by ~1e-3,
+    # so the neighbor sets agree almost everywhere
+    df, if_ = streaming_topk(q, g, k=10, chunk=128)
+    if_ = np.asarray(if_)
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(i8, if_)])
+    assert recall > 0.95, recall
+    # and the approx path composes with the int8 gallery
+    da, ia = streaming_topk(q, g8, k=10, chunk=128, g_scale=sc,
+                            recall_target=0.95)
+    assert np.asarray(da).shape == (16, 10)
