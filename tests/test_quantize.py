@@ -152,6 +152,49 @@ def test_quantize_gn_body():
     assert cos.min() > 0.90, cos
 
 
+def test_quantize_affine_channel_body():
+    """AffineChannel body (MODEL.USE_BN=False): the affine folds into the
+    conv exactly like BN, so the quantized path covers it unchanged."""
+    model, params, state, images = _tiny_model(extra=[
+        'MODEL.USE_BN', 'False'])
+    rng = np.random.RandomState(5)
+    for k in list(params):  # nontrivial affine scales/biases
+        if k.endswith('_bn_s'):
+            params[k] = jnp.asarray(
+                rng.rand(*params[k].shape).astype('f4') + 0.5)
+        if k.endswith('_bn_b'):
+            params[k] = jnp.asarray(
+                rng.randn(*params[k].shape).astype('f4') * 0.1)
+    base = np.asarray(model.extract_features(params, state,
+                                             jnp.asarray(images)))
+    qparams = quantize_for_eval(model, params, state, images,
+                                batch_size=4)
+    assert 'conv1_wq' in qparams
+    out = np.asarray(model.extract_features(qparams, state,
+                                            jnp.asarray(images)))
+    cos = np.sum(out * base, axis=1) / (
+        np.linalg.norm(out, axis=1) * np.linalg.norm(base, axis=1))
+    assert cos.min() > 0.995, cos
+
+
+def test_int8_with_flip_tta():
+    """flip-TTA (TEST.BBOX_AUG.H_FLIP) composes with quantized params:
+    the jitted TTA extraction runs the int8 graph twice and averages."""
+    from pps_tpu.parallel import mesh as mesh_lib
+    from pps_tpu.parallel.eval_step import make_extract_fn
+    model, params, state, images = _tiny_model()
+    qparams = quantize_for_eval(model, params, state, images,
+                                batch_size=4)
+    mesh = mesh_lib.build_mesh(cfg)
+    with mesh:
+        fn = make_extract_fn(model, mesh, flip_tta=True)
+        x = jnp.asarray(np.tile(images, (2, 1, 1, 1)))
+        out = np.asarray(fn(qparams, state, x))
+    assert out.shape == (8, model.embedding_dim)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                               rtol=1e-4)
+
+
 def test_engine_wiring_quantizes_from_roidb():
     """TPU.INT8_EVAL engine hook: calibrates off roidb images through
     the host preprocessing path and returns body-quantized params."""
