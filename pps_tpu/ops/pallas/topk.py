@@ -37,9 +37,11 @@ def quantize_gallery(g):
     return g8, scale.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'chunk', 'recall_target'))
+@functools.partial(jax.jit, static_argnames=('k', 'chunk', 'recall_target',
+                                             '_vary_axes'))
 def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
-                   g_scale=None):
+                   g_scale=None, n_valid=None, index_offset=None,
+                   _vary_axes=None):
     """Returns (dists [Nq, k], indices [Nq, k]) of the k nearest gallery
     rows per query (Euclidean, ascending).
 
@@ -54,6 +56,13 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
     (quantize_gallery).  The gallery stays int8 in HBM (4x smaller);
     each chunk dequantizes on the fly, so the math equals running the
     float path on the dequantized gallery exactly.
+
+    n_valid / index_offset (traced scalars, for the sharded-gallery path
+    in ``pps_tpu.parallel.retrieval``): only the first ``n_valid`` rows of
+    ``g`` are real (the rest is row padding from an uneven shard split and
+    scores +inf), and returned indices are shifted by ``index_offset`` so
+    each shard reports gallery-global positions.  Entries that never saw a
+    valid row keep index -1 and distance +inf.
     """
     nq, d = q.shape
     ng = g.shape[0]
@@ -64,6 +73,7 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
     else:
         assert g.dtype == jnp.int8, (
             'g_scale is for int8 galleries; got {}'.format(g.dtype))
+    ng_valid = ng if n_valid is None else n_valid
 
     pad = (-ng) % chunk
     gp = jnp.pad(g, ((0, pad), (0, 0)))
@@ -93,7 +103,7 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
                 q, gi.T, preferred_element_type=jnp.float32)
             idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, (nq, chunk), 1)
-            d2 = jnp.where(idx < ng, jnp.maximum(d2, 0.0), jnp.inf)
+            d2 = jnp.where(idx < ng_valid, jnp.maximum(d2, 0.0), jnp.inf)
             bd, bi = jax.lax.approx_min_k(
                 d2, k, recall_target=float(recall_target))
             return None, (bd, jnp.take_along_axis(idx, bi, axis=1))
@@ -102,8 +112,12 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
         cand_d = jnp.moveaxis(ds, 0, 1).reshape(nq, -1)
         cand_i = jnp.moveaxis(is_, 0, 1).reshape(nq, -1)
         neg, sel = jax.lax.top_k(-cand_d, k)  # exact final merge
-        return (jnp.sqrt(-neg),
-                jnp.take_along_axis(cand_i, sel, axis=1))
+        out_d = jnp.sqrt(-neg)
+        out_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+        if index_offset is not None:
+            out_i = jnp.where(out_i >= 0, out_i + index_offset, out_i)
+        return out_d, out_i
 
     def scan_body(carry, inp):
         best_d, best_i = carry
@@ -115,7 +129,7 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
         d2 = jnp.maximum(d2, 0.0)
         idx = base + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
         # mask gallery pad rows
-        valid = idx < ng
+        valid = idx < ng_valid
         d2 = jnp.where(valid, d2, jnp.inf)
         cat_d = jnp.concatenate([best_d, d2], axis=1)
         cat_i = jnp.concatenate([best_i, idx], axis=1)
@@ -125,5 +139,13 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
 
     init = (jnp.full((nq, k), jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
+    if _vary_axes is not None:
+        # under shard_map the scan carry must carry the same
+        # varying-manual-axes type as the body output (which varies via
+        # the shard's gallery rows); mark the constant init accordingly
+        init = jax.lax.pcast(init, _vary_axes, to='varying')
     (best_d, best_i), _ = jax.lax.scan(scan_body, init, (gc, bases))
+    best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+    if index_offset is not None:
+        best_i = jnp.where(best_i >= 0, best_i + index_offset, best_i)
     return jnp.sqrt(best_d), best_i

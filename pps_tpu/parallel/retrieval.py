@@ -1,0 +1,136 @@
+"""Multi-chip sharded-gallery retrieval.
+
+Scales gallery capacity and scan bandwidth linearly with the mesh: the
+gallery is row-sharded over ALL mesh devices, each device runs the
+streaming top-k (`pps_tpu.ops.pallas.topk.streaming_topk`) over its own
+shard with gallery-global indices, and one small all-gather of the
+per-shard [Nq, k] candidates feeds an exact final merge.  Collective
+traffic is O(n_shards * Nq * k) — independent of gallery size — so the
+merge rides ICI for free while each chip streams its shard out of local
+HBM at full bandwidth.
+
+Capacity math on v5e (16 GB HBM/chip): one chip holds ~1M entries of the
+full 3968-d flagship embedding int8-quantized (4.05 GB); an 8-chip slice
+holds ~8M (and with approx recall the scan stays sub-second per shard).
+The reference's retrieval was a single-host full numpy distance matrix
+(reference reid_dataset_evaluator.py:104-125) — no distribution story at
+all; this module is beyond-reference surface.
+
+Use: `shard_gallery` once (placement), then `sharded_topk` per query
+batch.  Works on any `jax.sharding.Mesh` — the (data, model) training
+mesh is flattened, every device takes a shard.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pps_tpu.ops.pallas.topk import quantize_gallery, streaming_topk
+
+try:  # jax >= 0.4.35 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def shard_gallery(g, mesh, int8=True, g_scale=None):
+    """Pad and place a [Ng, d] gallery row-sharded over all mesh devices.
+
+    g: float array [Ng, d], or an already-int8 array if ``g_scale`` is
+    given (e.g. from `quantize_gallery`).
+    int8: quantize on the way in (4x less HBM per chip).
+
+    Returns (g_dev, scale_dev_or_None, ng_total): ``ng_total`` is the true
+    entry count before padding; pass it to `sharded_topk`.
+    """
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod(mesh.devices.shape))
+    ng = int(g.shape[0])
+    if g_scale is None and int8:
+        g, g_scale = quantize_gallery(g)
+    pad = (-ng) % n_shards
+    if pad:
+        g = np.pad(np.asarray(g), ((0, pad), (0, 0)))
+        if g_scale is not None:
+            g_scale = np.pad(np.asarray(g_scale), (0, pad))
+    g_dev = jax.device_put(g, NamedSharding(mesh, P(axes, None)))
+    s_dev = None
+    if g_scale is not None:
+        s_dev = jax.device_put(np.asarray(g_scale, np.float32),
+                               NamedSharding(mesh, P(axes)))
+    return g_dev, s_dev, ng
+
+
+@functools.lru_cache(maxsize=64)
+def _build(mesh, k, chunk, recall_target, ng_total, rows_padded, has_scale):
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows = rows_padded // n_shards
+    k_local = min(k, rows)
+    k_out = min(k, ng_total)
+    chunk = max(1, min(chunk, rows))
+
+    def linear_index():
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
+    def local(q, g_local, s_local):
+        base = linear_index() * rows
+        n_valid = jnp.clip(jnp.int32(ng_total) - base, 0, rows)
+        return streaming_topk(q, g_local, k=k_local, chunk=chunk,
+                              recall_target=recall_target, g_scale=s_local,
+                              n_valid=n_valid, index_offset=base,
+                              _vary_axes=axes)
+
+    # out_specs stack the per-shard [Nq, k_local] blocks along columns in
+    # linear shard order — the same order linear_index() numbers the row
+    # shards, so candidate columns and index bases agree by construction.
+    if has_scale:
+        sm = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(axes, None), P(axes)),
+                       out_specs=(P(None, axes), P(None, axes)))
+    else:
+        sm = shard_map(functools.partial(local, s_local=None), mesh=mesh,
+                       in_specs=(P(), P(axes, None)),
+                       out_specs=(P(None, axes), P(None, axes)))
+
+    def merged(q, g, s=None):
+        cand_d, cand_i = sm(q, g, s) if has_scale else sm(q, g)
+        # candidates are already true (sqrt) distances; exact final merge
+        neg, sel = jax.lax.top_k(-cand_d, k_out)
+        out_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return -neg, jnp.where(jnp.isinf(neg), -1, out_i)
+
+    return jax.jit(merged)
+
+
+def sharded_topk(q, g, ng_total=None, k=100, chunk=4096, recall_target=None,
+                 g_scale=None, mesh=None):
+    """Global (dists, indices) top-k over a row-sharded gallery.
+
+    q: [Nq, d] queries (replicated by the jit as needed).
+    g (+ optional g_scale): output of `shard_gallery` — or any array
+    placed with P((all mesh axes), None) row sharding.
+    ng_total: true entry count if the gallery was padded (shard_gallery
+    returns it); indices >= ng_total never appear in the output.
+
+    Semantics match `streaming_topk` over the concatenated gallery —
+    exact by default, `recall_target` engages per-shard approx_min_k with
+    an exact cross-shard merge.  Entries beyond the gallery size come
+    back as distance +inf / index -1 (only when k > ng_total).
+    """
+    if mesh is None:
+        mesh = g.sharding.mesh
+    ng_total = int(g.shape[0] if ng_total is None else ng_total)
+    fn = _build(mesh, int(k), int(chunk),
+                None if recall_target is None else float(recall_target),
+                ng_total, int(g.shape[0]), g_scale is not None)
+    if g_scale is not None:
+        return fn(q, g, g_scale)
+    return fn(q, g)

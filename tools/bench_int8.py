@@ -42,7 +42,8 @@ def _throughput(fn, args, batch, iters=20, warmup=3):
 
 def main():
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model

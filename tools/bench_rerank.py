@@ -27,7 +27,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     from pps_tpu.evaluation.rerank import re_ranking, rerank_distmat_jax
     from pps_tpu import native

@@ -67,7 +67,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
 
     root = args.data_dir or tempfile.mkdtemp(prefix='pps_e2e_')

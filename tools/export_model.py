@@ -44,7 +44,8 @@ def main():
     args = parser.parse_args()
 
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     import jax.numpy as jnp
     from jax import export as jax_export

@@ -41,7 +41,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     import jax.numpy as jnp
     import __graft_entry__ as g

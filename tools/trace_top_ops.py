@@ -28,7 +28,8 @@ def capture_trace(trace_dir, batch, steps, eval_path=False, dtype='bfloat16',
                   int8=False):
     import jax
     import jax.numpy as jnp
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
