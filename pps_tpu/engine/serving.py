@@ -1,0 +1,189 @@
+"""Serving-side retrieval index: a device-resident gallery you can
+search and grow.
+
+The production counterpart of the offline evaluator: the reference's only
+retrieval surface was the batch evaluator's full numpy distance matrix
+(reference detectron/datasets/reid_dataset_evaluator.py:104-125, computed
+once per features.pkl); it shipped nothing for interactive serving.  Here
+the gallery lives on the accelerator — f32 or int8-quantized (4x less
+HBM; `ops/pallas/topk.quantize_gallery`), single-device or row-sharded
+over the whole mesh (`parallel/retrieval`) — and queries stream through
+`streaming_topk` without ever materializing a distance matrix.
+
+Used by `tools/retrieve.py` (one-shot CLI) and `tools/serve.py` (HTTP
+daemon).  Measured single-query latency on one v5e chip: 29.7 ms
+end-to-end (int8 PTQ embed + exact top-100 over a resident 1M x 3968-d
+int8 gallery; BASELINE.md).
+"""
+
+import glob
+import logging
+import os
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+GALLERY_CACHE_NAME = 'gallery_features.npz'
+
+
+def list_gallery_images(gallery_dir):
+    """Sorted jpg/png paths under ``gallery_dir`` (the serving contract:
+    deterministic order so cached features stay aligned)."""
+    return sorted(
+        glob.glob(os.path.join(gallery_dir, '*.jpg')) +
+        glob.glob(os.path.join(gallery_dir, '*.png')))
+
+
+def weights_cache_key(weights_path):
+    """Identity of the embedding model for gallery-cache validity:
+    switching --weights must re-embed, or queries embedded with the new
+    model would be matched against stale gallery embeddings."""
+    if weights_path and os.path.exists(weights_path):
+        st = os.stat(weights_path)
+        return '%s:%d:%d' % (os.path.abspath(weights_path),
+                             st.st_size, int(st.st_mtime))
+    return ''
+
+
+def embed_paths(cfg, model, params, state, paths, mesh):
+    """Embed image files through the batched extraction engine."""
+    from pps_tpu.engine.test import extract_dataset_features
+    roidb = [{'image': p, 'im_name': os.path.basename(p)} for p in paths]
+    return extract_dataset_features(cfg, model, params, state, roidb,
+                                    mesh=mesh)
+
+
+def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
+                         weights_path=None, refresh=False):
+    """(features [N, D] f32, paths) for a gallery directory, cached to
+    ``<gallery_dir>/gallery_features.npz``.
+
+    The cache is keyed on the exact path list AND the weights file
+    (path, size, mtime) — either changing forces a re-embed.
+    """
+    paths = list_gallery_images(gallery_dir)
+    assert paths, 'no images in {}'.format(gallery_dir)
+    cache = os.path.join(gallery_dir, GALLERY_CACHE_NAME)
+    wkey = weights_cache_key(weights_path)
+    feats = None
+    if os.path.exists(cache) and not refresh:
+        data = np.load(cache, allow_pickle=True)
+        cached_paths = list(data['paths'])
+        cached_wkey = str(data['wkey']) if 'wkey' in data else ''
+        if cached_paths == paths and cached_wkey == wkey:
+            feats = data['features']
+        else:
+            logger.info('gallery or weights changed; re-embedding')
+    if feats is None:
+        feats = embed_paths(cfg, model, params, state, paths, mesh)
+        np.savez(cache, features=feats, paths=np.array(paths),
+                 wkey=np.array(wkey))
+        logger.info('cached %d gallery embeddings to %s', len(paths), cache)
+    return np.asarray(feats, np.float32), paths
+
+
+class RetrievalIndex:
+    """Device-resident top-k retrieval over an appendable gallery.
+
+    feats: [N, D] float embeddings; paths: the per-row identities the
+    caller resolves results against (any picklable labels).
+    int8: store rows int8-quantized on device (per-row symmetric scale;
+    exact same math as the float path over the dequantized rows).
+    shard: row-shard over ALL devices of ``mesh`` (capacity and scan
+    bandwidth scale linearly with chips; exact cross-shard merge).
+
+    ``add`` appends rows (per-row quantization means existing rows are
+    untouched) and re-places the gallery on device.  Each distinct
+    gallery length compiles a fresh top-k program — batch adds rather
+    than inserting one row at a time in a hot loop.
+
+    Thread-safe: search/add serialize on an internal lock (one device
+    stream; concurrency belongs in the batch dimension, not in racing
+    dispatches).
+    """
+
+    def __init__(self, feats, paths, mesh=None, int8=True, shard=False):
+        import jax
+        from pps_tpu.ops.pallas.topk import quantize_gallery
+        self._jax = jax
+        feats = np.asarray(feats, np.float32)
+        assert feats.ndim == 2 and feats.shape[0] == len(paths), \
+            (feats.shape, len(paths))
+        self.paths = list(paths)
+        self.int8 = bool(int8)
+        self.shard = bool(shard)
+        self.mesh = mesh
+        if self.shard:
+            assert mesh is not None, 'shard=True needs a mesh'
+        if self.int8:
+            g8, sc = quantize_gallery(feats)
+            self._host_g = np.asarray(g8)
+            self._host_s = np.asarray(sc, np.float32)
+        else:
+            self._host_g = feats
+            self._host_s = None
+        self._lock = threading.Lock()
+        self._place()
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def dim(self):
+        return int(self._host_g.shape[1])
+
+    def _place(self):
+        import jax
+        if self.shard:
+            from pps_tpu.parallel.retrieval import shard_gallery
+            self._g, self._s, self._n = shard_gallery(
+                self._host_g, self.mesh, int8=self.int8,
+                g_scale=self._host_s)
+        else:
+            self._g = jax.device_put(self._host_g)
+            self._s = (None if self._host_s is None
+                       else jax.device_put(self._host_s))
+            self._n = len(self.paths)
+
+    def search(self, q_feats, k, recall_target=None, chunk=4096):
+        """(dists [Nq, k'], indices [Nq, k'], paths-resolver) with
+        k' = min(k, len(index)); indices index into ``self.paths``."""
+        from pps_tpu.ops.pallas.topk import streaming_topk
+        q = np.asarray(q_feats, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        assert q.shape[1] == self.dim, (q.shape, self.dim)
+        k = max(1, min(int(k), self._n))
+        with self._lock:
+            if self.shard:
+                from pps_tpu.parallel.retrieval import sharded_topk
+                d, i = sharded_topk(q, self._g, ng_total=self._n, k=k,
+                                    chunk=chunk,
+                                    recall_target=recall_target,
+                                    g_scale=self._s, mesh=self.mesh)
+            else:
+                d, i = streaming_topk(q, self._g, k=k, chunk=chunk,
+                                      recall_target=recall_target,
+                                      g_scale=self._s)
+            return np.asarray(d), np.asarray(i)
+
+    def add(self, feats, paths):
+        """Append rows to the gallery and re-place it on device."""
+        from pps_tpu.ops.pallas.topk import quantize_gallery
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 1:
+            feats = feats[None]
+        assert feats.shape[0] == len(paths) and feats.shape[1] == self.dim
+        with self._lock:
+            if self.int8:
+                g8, sc = quantize_gallery(feats)
+                self._host_g = np.concatenate(
+                    [self._host_g, np.asarray(g8)])
+                self._host_s = np.concatenate(
+                    [self._host_s, np.asarray(sc, np.float32)])
+            else:
+                self._host_g = np.concatenate([self._host_g, feats])
+            self.paths.extend(paths)
+            self._place()

@@ -255,3 +255,16 @@ def test_retrieve_cli_int8_gallery(tmp_path):
     first = [l for l in out.splitlines() if '#1' in l][0]
     assert query in first, out
     assert os.path.exists(os.path.join(imdir, 'gallery_features.npz'))
+
+    # --shard-gallery: row-shard over the 8-device mesh; gallery embeds
+    # come from the cache, the CLI contract and ranking must hold
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, 'tools', 'retrieve.py'),
+         '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
+         '--query', os.path.join(imdir, query), '--topk', '3',
+         '--int8-gallery', '--shard-gallery'],
+        capture_output=True, text=True, timeout=540, cwd=ROOT, env=env)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    first = [l for l in out.splitlines() if '#1' in l][0]
+    assert query in first, out

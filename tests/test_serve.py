@@ -1,0 +1,148 @@
+"""Serving daemon e2e: tools/serve.py in a subprocess on the CPU mesh.
+
+Drives the full HTTP surface — healthz, search (raw image bytes),
+search_path, add (gallery growth), stats — against a tiny synthetic
+gallery.  Beyond-reference surface (the reference shipped no serving
+path; its retrieval is the offline evaluator's one-shot numpy distmat,
+reference reid_dataset_evaluator.py:104-125), so the correctness bar is
+self-retrieval: a query that IS a gallery image must rank itself first.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip('cv2')
+
+from test_cli import CFG_YAML, N_IDS, _write_images_and_json  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _req(url, data=None, headers=None, timeout=120):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read().decode('utf-8'))
+
+
+def test_serve_daemon_e2e(tmp_path):
+    _write_images_and_json(str(tmp_path / 'data'))
+    imdir = str(tmp_path / 'data' / 'market1501' / 'images')
+    cfg_file = str(tmp_path / 'tiny.yaml')
+    with open(cfg_file, 'w') as f:
+        f.write(CFG_YAML.format(nc=N_IDS + 1))
+
+    env = dict(os.environ)
+    env['PPS_TPU_DATA_DIR'] = str(tmp_path / 'data')
+    env['JAX_PLATFORMS'] = 'cpu'
+    flags = env.get('XLA_FLAGS', '')
+    if '--xla_force_host_platform_device_count' not in flags:
+        env['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
+
+    # random-init checkpoint (the CLI contract needs no training)
+    ckpt = str(tmp_path / 'model.pkl')
+    mk = ("import jax; jax.config.update('jax_platforms','cpu');"
+          "from pps_tpu.config import cfg, merge_cfg_from_file,"
+          "assert_and_infer_cfg;"
+          "merge_cfg_from_file(r'%s'); assert_and_infer_cfg("
+          "make_immutable=False);"
+          "from pps_tpu.models.model import build_model;"
+          "from pps_tpu.engine.checkpoint import save_checkpoint;"
+          "m = build_model(cfg); p, s = m.init(jax.random.PRNGKey(0));"
+          "save_checkpoint(r'%s', m, p, s)" % (cfg_file, ckpt))
+    proc = subprocess.run([sys.executable, '-c', mk], capture_output=True,
+                          text=True, timeout=300, cwd=ROOT, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    gallery_imgs = sorted(p for p in os.listdir(imdir)
+                          if p.endswith('.png'))
+    n_gallery = len(gallery_imgs)
+    ready = str(tmp_path / 'ready')
+    log = open(str(tmp_path / 'serve.log'), 'w')
+    server = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
+         '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
+         '--port', '0', '--int8-gallery', '--topk', '3',
+         '--ready-file', ready],
+        stdout=log, stderr=log, cwd=ROOT, env=env)
+    try:
+        deadline = time.time() + 480
+        while not os.path.exists(ready):
+            assert server.poll() is None, (
+                'server died:\n' + open(str(tmp_path / 'serve.log')).read())
+            assert time.time() < deadline, 'server never became ready'
+            time.sleep(1.0)
+        host, port = open(ready).read().split()
+        base = 'http://{}:{}'.format(host, port)
+
+        # healthz reflects the placed gallery
+        h = _req(base + '/healthz')
+        assert h['status'] == 'ok'
+        assert h['gallery_size'] == n_gallery
+        assert h['int8'] is True and h['sharded'] is False
+
+        # search with raw image bytes: a gallery image finds itself
+        query = gallery_imgs[0]
+        with open(os.path.join(imdir, query), 'rb') as f:
+            raw = f.read()
+        r = _req(base + '/search?k=3', data=raw,
+                 headers={'Content-Type': 'image/png'})
+        assert len(r['results']) == 3
+        assert os.path.basename(r['results'][0]['path']) == query
+        assert r['results'][0]['distance'] < r['results'][-1]['distance']
+        assert r['latency_ms'] > 0
+
+        # search_path: two queries in one request
+        q2 = [os.path.join(imdir, gallery_imgs[1]),
+              os.path.join(imdir, gallery_imgs[2])]
+        r = _req(base + '/search_path',
+                 data=json.dumps({'paths': q2, 'k': 2}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert len(r['results']) == 2
+        for qi, qpath in enumerate(q2):
+            assert r['results'][qi][0]['path'] == qpath
+
+        # add: a NEW image (outside the gallery dir) becomes findable
+        new_img = str(tmp_path / 'newcomer.png')
+        rng = np.random.RandomState(99)
+        cv2.imwrite(new_img,
+                    rng.randint(0, 255, size=(96, 32, 3)).astype(np.uint8))
+        r = _req(base + '/add',
+                 data=json.dumps({'paths': [new_img]}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r == {'added': 1, 'gallery_size': n_gallery + 1}
+        r = _req(base + '/search_path',
+                 data=json.dumps({'path': new_img, 'k': 1}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['results'][0][0]['path'] == new_img
+
+        # error contract: missing file -> 404 JSON, server keeps serving
+        try:
+            _req(base + '/search_path',
+                 data=json.dumps({'path': '/no/such.jpg'}).encode(),
+                 headers={'Content-Type': 'application/json'})
+            assert False, 'expected HTTP 404'
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert 'no such file' in json.loads(
+                e.read().decode())['error']
+
+        s = _req(base + '/stats')
+        assert s['requests'] >= 5 and s['gallery_size'] == n_gallery + 1
+        assert s['errors'] >= 1
+        assert s['latency_ms']['count'] >= 4
+    finally:
+        server.terminate()
+        try:
+            server.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            server.kill()
+        log.close()

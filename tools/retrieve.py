@@ -19,17 +19,9 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 import argparse
-import glob
 import os
 
 import numpy as np
-
-
-def embed(cfg, model, params, state, paths, mesh):
-    from pps_tpu.engine.test import extract_dataset_features
-    roidb = [{'image': p, 'im_name': os.path.basename(p)} for p in paths]
-    return extract_dataset_features(cfg, model, params, state, roidb,
-                                    mesh=mesh)
 
 
 def main():
@@ -49,6 +41,11 @@ def main():
                              '(4x less HBM — fits 1M entries at the full '
                              '3968-d flagship embedding; ~1e-3 distance '
                              'perturbation on L2-normalized embeddings)')
+    parser.add_argument('--shard-gallery', action='store_true',
+                        help='row-shard the gallery over ALL mesh devices '
+                             '(pps_tpu.parallel.retrieval): capacity and '
+                             'scan bandwidth scale linearly with chips; '
+                             'exact cross-shard merge')
     parser.add_argument('--vis', default=None,
                         help='write rank-list grids to this directory')
     parser.add_argument('--refresh-cache', action='store_true')
@@ -56,17 +53,19 @@ def main():
     args = parser.parse_args()
 
     import jax
-    from pps_tpu.utils.env import configure_jax_cache
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
+    apply_platform_env()
     configure_jax_cache()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
+    from pps_tpu.engine.serving import embed_gallery_cached, embed_paths
     from pps_tpu.models.model import build_model
     from pps_tpu.ops.pallas.topk import streaming_topk
     from pps_tpu.parallel import mesh as mesh_lib
     from pps_tpu.utils.logging import setup_logging
 
-    logger = setup_logging(__name__)
+    setup_logging(__name__)
     merge_cfg_from_file(args.cfg_file)
     if args.opts:
         merge_cfg_from_list(args.opts)
@@ -78,40 +77,19 @@ def main():
                                                 params, state)
     mesh = mesh_lib.build_mesh(cfg)
 
-    gallery_paths = sorted(
-        glob.glob(os.path.join(args.gallery, '*.jpg')) +
-        glob.glob(os.path.join(args.gallery, '*.png')))
-    assert gallery_paths, 'no images in {}'.format(args.gallery)
+    g_feats, gallery_paths = embed_gallery_cached(
+        cfg, model, params, state, args.gallery, mesh,
+        weights_path=args.weights, refresh=args.refresh_cache)
 
-    cache = os.path.join(args.gallery, 'gallery_features.npz')
-    # cache validity covers the MODEL too, not just the path list:
-    # switching --weights must re-embed, or queries embedded with the new
-    # model would be matched against stale gallery embeddings
-    wkey = ''
-    if args.weights and os.path.exists(args.weights):
-        st = os.stat(args.weights)
-        wkey = '%s:%d:%d' % (os.path.abspath(args.weights),
-                             st.st_size, int(st.st_mtime))
-    if os.path.exists(cache) and not args.refresh_cache:
-        data = np.load(cache, allow_pickle=True)
-        g_feats = data['features']
-        cached_paths = list(data['paths'])
-        cached_wkey = str(data['wkey']) if 'wkey' in data else ''
-        if cached_paths != gallery_paths or cached_wkey != wkey:
-            logger.info('gallery or weights changed; re-embedding')
-            g_feats = None
-    else:
-        g_feats = None
-    if g_feats is None:
-        g_feats = embed(cfg, model, params, state, gallery_paths, mesh)
-        np.savez(cache, features=g_feats, paths=np.array(gallery_paths),
-                 wkey=np.array(wkey))
-        logger.info('cached %d gallery embeddings to %s', len(gallery_paths),
-                    cache)
-
-    q_feats = embed(cfg, model, params, state, list(args.query), mesh)
+    q_feats = embed_paths(cfg, model, params, state, list(args.query), mesh)
     k = min(args.topk, len(gallery_paths))
-    if args.int8_gallery:
+    if args.shard_gallery:
+        from pps_tpu.parallel.retrieval import shard_gallery, sharded_topk
+        gd, sd, n = shard_gallery(g_feats, mesh, int8=args.int8_gallery)
+        dists, idxs = sharded_topk(q_feats, gd, ng_total=n, k=k,
+                                   recall_target=args.approx_recall,
+                                   g_scale=sd, mesh=mesh)
+    elif args.int8_gallery:
         from pps_tpu.ops.pallas.topk import quantize_gallery
         g8, gscale = quantize_gallery(g_feats)
         dists, idxs = streaming_topk(q_feats, g8, k=k,
