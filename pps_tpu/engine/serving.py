@@ -95,9 +95,10 @@ class RetrievalIndex:
     bandwidth scale linearly with chips; exact cross-shard merge).
 
     ``add`` appends rows (per-row quantization means existing rows are
-    untouched) and re-places the gallery on device.  Each distinct
-    gallery length compiles a fresh top-k program — batch adds rather
-    than inserting one row at a time in a hot loop.
+    untouched; unsharded placement appends on device so only the new
+    rows cross the host->device link).  Each distinct gallery length
+    compiles a fresh top-k program — batch adds rather than inserting
+    one row at a time in a hot loop.
 
     Thread-safe: search/add serialize on an internal lock (one device
     stream; concurrency belongs in the batch dimension, not in racing
@@ -148,7 +149,7 @@ class RetrievalIndex:
             self._n = len(self.paths)
 
     def search(self, q_feats, k, recall_target=None, chunk=4096):
-        """(dists [Nq, k'], indices [Nq, k'], paths-resolver) with
+        """Returns (dists [Nq, k'], indices [Nq, k']) with
         k' = min(k, len(index)); indices index into ``self.paths``."""
         from pps_tpu.ops.pallas.topk import streaming_topk
         q = np.asarray(q_feats, np.float32)
@@ -170,7 +171,17 @@ class RetrievalIndex:
             return np.asarray(d), np.asarray(i)
 
     def add(self, feats, paths):
-        """Append rows to the gallery and re-place it on device."""
+        """Append rows to the gallery.
+
+        Unsharded: appends ON DEVICE (`jnp.concatenate` of the resident
+        array with just the new rows) — only the new rows cross the
+        host->device link, an HBM-to-HBM copy re-lays the rest.  Sharded:
+        the row distribution over shards changes, so the gallery is
+        re-placed from the host copy (O(gallery) transfer) — batch adds
+        rather than appending one row at a time at serving scale.
+        """
+        import jax
+        import jax.numpy as jnp
         from pps_tpu.ops.pallas.topk import quantize_gallery
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 1:
@@ -179,11 +190,20 @@ class RetrievalIndex:
         with self._lock:
             if self.int8:
                 g8, sc = quantize_gallery(feats)
-                self._host_g = np.concatenate(
-                    [self._host_g, np.asarray(g8)])
-                self._host_s = np.concatenate(
-                    [self._host_s, np.asarray(sc, np.float32)])
+                new_g = np.asarray(g8)
+                new_s = np.asarray(sc, np.float32)
+                self._host_g = np.concatenate([self._host_g, new_g])
+                self._host_s = np.concatenate([self._host_s, new_s])
             else:
+                new_g, new_s = feats, None
                 self._host_g = np.concatenate([self._host_g, feats])
             self.paths.extend(paths)
-            self._place()
+            if self.shard:
+                self._place()
+            else:
+                self._g = jnp.concatenate(
+                    [self._g, jax.device_put(new_g)])
+                if new_s is not None:
+                    self._s = jnp.concatenate(
+                        [self._s, jax.device_put(new_s)])
+                self._n = len(self.paths)

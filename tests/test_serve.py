@@ -135,10 +135,37 @@ def test_serve_daemon_e2e(tmp_path):
             assert 'no such file' in json.loads(
                 e.read().decode())['error']
 
+        # a JSON-string "paths" is rejected, not iterated char-by-char
+        try:
+            _req(base + '/search_path',
+                 data=json.dumps({'paths': q2[0]}).encode(),
+                 headers={'Content-Type': 'application/json'})
+            assert False, 'expected HTTP 400'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert 'list' in json.loads(e.read().decode())['error']
+
+        # keep-alive: an error reply on an unknown POST path must drain
+        # the request body, or the next request on the SAME connection
+        # parses leftover bytes as its request line
+        import http.client
+        conn = http.client.HTTPConnection(host, int(port), timeout=60)
+        conn.request('POST', '/nope', body=b'x' * 4096,
+                     headers={'Content-Type': 'application/json'})
+        assert conn.getresponse().read() and True
+        conn.request('GET', '/healthz')
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+        assert json.loads(body.decode())['status'] == 'ok'
+        conn.close()
+
         s = _req(base + '/stats')
-        assert s['requests'] >= 5 and s['gallery_size'] == n_gallery + 1
-        assert s['errors'] >= 1
-        assert s['latency_ms']['count'] >= 4
+        assert s['requests'] >= 7 and s['gallery_size'] == n_gallery + 1
+        assert s['errors'] >= 3
+        assert s['adds'] == 1
+        # only searches feed the latency percentiles (3 so far)
+        assert s['latency_ms']['count'] == 3
     finally:
         server.terminate()
         try:

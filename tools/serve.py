@@ -62,23 +62,29 @@ class ServerState(object):
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0
-        self.latencies_ms = []            # last 1024 search latencies
+        self.latencies_ms = []            # last 1024 SEARCH latencies only
+        self.n_adds = 0
 
-    def record(self, ms, error=False):
+    def record(self, ms, error=False, search=True):
+        """Count a request; only non-error *search* latencies feed the
+        /stats percentiles (an /add takes seconds in the embed pipeline
+        and would poison the search-latency monitoring signal)."""
         with self.stats_lock:
             self.n_requests += 1
             if error:
                 self.n_errors += 1
-            else:
+            elif search:
                 self.latencies_ms.append(ms)
                 if len(self.latencies_ms) > 1024:
                     self.latencies_ms = self.latencies_ms[-1024:]
+            else:
+                self.n_adds += 1
 
     def stats(self):
         with self.stats_lock:
             lat = np.asarray(self.latencies_ms, np.float64)
             out = {'requests': self.n_requests, 'errors': self.n_errors,
-                   'gallery_size': len(self.index)}
+                   'adds': self.n_adds, 'gallery_size': len(self.index)}
             if lat.size:
                 out['latency_ms'] = {
                     'mean': round(float(lat.mean()), 2),
@@ -140,11 +146,15 @@ def make_handler(state, recall_target):
         def do_POST(self):
             url = urlparse(self.path)
             t0 = time.perf_counter()
+            # drain the body FIRST, unconditionally: under HTTP/1.1
+            # keep-alive, replying without reading Content-Length bytes
+            # leaves them in the socket and the next request on the
+            # connection parses the leftover body as its request line
+            raw = self._read_body()
             try:
                 if url.path == '/search':
                     qs = parse_qs(url.query)
                     k = int(qs.get('k', [state.default_k])[0])
-                    raw = self._read_body()
                     if not raw:
                         raise ValueError('empty body; POST image bytes')
                     ctype = self.headers.get('Content-Type', 'image/jpeg')
@@ -164,11 +174,15 @@ def make_handler(state, recall_target):
                     self._json(200, {'results': self._results(d, i)[0],
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/search_path':
-                    req = json.loads(self._read_body() or '{}')
+                    req = json.loads(raw or '{}')
                     paths = req.get('paths') or (
                         [req['path']] if 'path' in req else None)
                     if not paths:
                         raise ValueError('need "path" or "paths"')
+                    if not isinstance(paths, list) or not all(
+                            isinstance(p, str) for p in paths):
+                        raise ValueError('"paths" must be a list of '
+                                         'strings')
                     missing = [p for p in paths if not os.path.exists(p)]
                     if missing:
                         self._json(404, {'error': 'no such file',
@@ -185,10 +199,14 @@ def make_handler(state, recall_target):
                     self._json(200, {'results': self._results(d, i),
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/add':
-                    req = json.loads(self._read_body() or '{}')
+                    req = json.loads(raw or '{}')
                     paths = req.get('paths')
                     if not paths:
                         raise ValueError('need "paths": [...]')
+                    if not isinstance(paths, list) or not all(
+                            isinstance(p, str) for p in paths):
+                        raise ValueError('"paths" must be a list of '
+                                         'strings')
                     missing = [p for p in paths if not os.path.exists(p)]
                     if missing:
                         self._json(404, {'error': 'no such file',
@@ -198,7 +216,8 @@ def make_handler(state, recall_target):
                     with state.lock:
                         feats = state.embed_fn(paths)
                     state.index.add(feats, paths)
-                    state.record((time.perf_counter() - t0) * 1e3)
+                    state.record((time.perf_counter() - t0) * 1e3,
+                                 search=False)
                     self._json(200, {'added': len(paths),
                                      'gallery_size': len(state.index)})
                 else:
