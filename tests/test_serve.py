@@ -67,11 +67,12 @@ def test_serve_daemon_e2e(tmp_path):
     n_gallery = len(gallery_imgs)
     ready = str(tmp_path / 'ready')
     log = open(str(tmp_path / 'serve.log'), 'w')
+    idx_file = str(tmp_path / 'index.npz')
     server = subprocess.Popen(
         [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
          '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
          '--port', '0', '--int8-gallery', '--topk', '3',
-         '--ready-file', ready],
+         '--ready-file', ready, '--save-index', idx_file],
         stdout=log, stderr=log, cwd=ROOT, env=env)
     try:
         deadline = time.time() + 480
@@ -173,3 +174,43 @@ def test_serve_daemon_e2e(tmp_path):
         except subprocess.TimeoutExpired:
             server.kill()
         log.close()
+
+    # restart from the persisted index: no --gallery, no re-embed —
+    # the daemon must come up serving the SAME placed rows (including
+    # the /add'ed newcomer) straight from RetrievalIndex.load
+    assert os.path.exists(idx_file), 'first daemon never wrote the index'
+    ready2 = str(tmp_path / 'ready2')
+    log2 = open(str(tmp_path / 'serve2.log'), 'w')
+    server2 = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
+         '--cfg', cfg_file, '--weights', ckpt, '--port', '0',
+         '--topk', '3', '--ready-file', ready2,
+         '--load-index', idx_file],
+        stdout=log2, stderr=log2, cwd=ROOT, env=env)
+    try:
+        deadline = time.time() + 480
+        while not os.path.exists(ready2):
+            assert server2.poll() is None, (
+                'server2 died:\n' +
+                open(str(tmp_path / 'serve2.log')).read())
+            assert time.time() < deadline, 'server2 never became ready'
+            time.sleep(1.0)
+        host, port = open(ready2).read().split()
+        base = 'http://{}:{}'.format(host, port)
+
+        h = _req(base + '/healthz')
+        assert h['gallery_size'] == n_gallery + 1  # newcomer persisted
+        assert h['int8'] is True  # precision travels with the file
+
+        with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:
+            raw = f.read()
+        r = _req(base + '/search?k=3', data=raw,
+                 headers={'Content-Type': 'image/png'})
+        assert os.path.basename(r['results'][0]['path']) == gallery_imgs[0]
+    finally:
+        server2.terminate()
+        try:
+            server2.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            server2.kill()
+        log2.close()

@@ -88,3 +88,46 @@ def test_shard_requires_mesh():
     _, g = _data(ng=8)
     with pytest.raises(AssertionError):
         RetrievalIndex(g, list(range(8)), shard=True)
+
+
+@pytest.mark.parametrize('int8', [False, True])
+def test_save_load_roundtrip_bit_identical(tmp_path, int8):
+    q, g = _data(seed=5)
+    idx = RetrievalIndex(g, ['p%d' % i for i in range(len(g))], int8=int8)
+    f = str(tmp_path / 'idx.npz')
+    idx.save(f)
+    loaded = RetrievalIndex.load(f)
+    assert loaded.int8 == int8  # precision travels with the file
+    assert loaded.paths == idx.paths
+    d0, i0 = idx.search(q, k=10)
+    d1, i1 = loaded.search(q, k=10)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_array_equal(d1, d0)
+    # the loaded index stays appendable
+    loaded.add(q[0], ['new'])
+    d, i = loaded.search(q[0], k=1)
+    assert int(i[0, 0]) == len(g)
+
+
+def test_load_into_sharded_placement(tmp_path):
+    q, g = _data(ng=117, seed=6)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=True)
+    f = str(tmp_path / 'idx.npz')
+    idx.save(f)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ('data', 'model'))
+    sh = RetrievalIndex.load(f, mesh=mesh, shard=True)
+    d_r, i_r = idx.search(q, k=5)
+    d_s, i_s = sh.search(q, k=5)
+    np.testing.assert_array_equal(i_s, i_r)
+    np.testing.assert_allclose(d_s, d_r, rtol=1e-5, atol=1e-5)
+
+
+def test_save_is_atomic(tmp_path):
+    _, g = _data(ng=8)
+    idx = RetrievalIndex(g, list(range(8)), int8=True)
+    f = str(tmp_path / 'idx.npz')
+    idx.save(f)
+    import os
+    assert os.path.exists(f)
+    assert not os.path.exists(f + '.tmp.npz')  # tmp renamed away

@@ -14,7 +14,14 @@ server-framework dependency.
 
   python tools/serve.py --cfg <yaml> --weights model_final.pkl \
       --gallery DIR [--port 8080] [--int8-gallery] [--shard-gallery] \
-      [--approx-recall 0.95] [--ready-file /tmp/ready]
+      [--approx-recall 0.95] [--ready-file /tmp/ready] \
+      [--save-index idx.npz | --load-index idx.npz]
+
+--save-index/--load-index persist the PLACED index (the stored int8
+rows + scales, not f32 features): restart skips embed and re-quantize,
+and the file is ~4x smaller than the f32 feature cache.  The save
+happens after warmup AND again on graceful shutdown (SIGTERM/ctrl-C),
+so rows appended through /add survive a restart.
 
 Endpoints (all JSON):
   GET  /healthz      liveness + gallery size/dim/placement
@@ -37,6 +44,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 import argparse
 import json
 import os
+import signal
 import tempfile
 import threading
 import time
@@ -236,8 +244,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--cfg', dest='cfg_file', required=True)
     parser.add_argument('--weights', required=True)
-    parser.add_argument('--gallery', required=True,
-                        help='directory of gallery jpgs/pngs')
+    parser.add_argument('--gallery', default=None,
+                        help='directory of gallery jpgs/pngs (required '
+                             'unless --load-index)')
     parser.add_argument('--host', default='127.0.0.1')
     parser.add_argument('--port', type=int, default=8080,
                         help='0 picks a free port (printed + ready-file)')
@@ -255,6 +264,15 @@ def main():
                         help='write "<host> <port>" here once warmed up '
                              '(for supervisors / tests)')
     parser.add_argument('--refresh-cache', action='store_true')
+    parser.add_argument('--load-index', default=None, metavar='NPZ',
+                        help='start from a RetrievalIndex.save file '
+                             'instead of embedding --gallery (int8-ness '
+                             'travels with the file; 4x smaller than the '
+                             'f32 feature cache at int8)')
+    parser.add_argument('--save-index', default=None, metavar='NPZ',
+                        help='persist the built index after warmup and '
+                             'again on graceful shutdown (so /add rows '
+                             'survive a restart)')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -283,25 +301,50 @@ def main():
                                                 params, state)
     mesh = mesh_lib.build_mesh(cfg)
 
-    g_feats, g_paths = embed_gallery_cached(
-        cfg, model, params, state, args.gallery, mesh,
-        weights_path=args.weights, refresh=args.refresh_cache)
-    index = RetrievalIndex(g_feats, g_paths, mesh=mesh,
-                           int8=args.int8_gallery,
-                           shard=args.shard_gallery)
+    if args.load_index:
+        if args.int8_gallery:
+            logger.warning('--int8-gallery is ignored with --load-index: '
+                           'the stored rows carry their own precision')
+        index = RetrievalIndex.load(args.load_index, mesh=mesh,
+                                    shard=args.shard_gallery)
+    else:
+        if not args.gallery:
+            parser.error('--gallery is required unless --load-index')
+        g_feats, g_paths = embed_gallery_cached(
+            cfg, model, params, state, args.gallery, mesh,
+            weights_path=args.weights, refresh=args.refresh_cache)
+        index = RetrievalIndex(g_feats, g_paths, mesh=mesh,
+                               int8=args.int8_gallery,
+                               shard=args.shard_gallery)
 
     def embed_fn(paths):
         return embed_paths(cfg, model, params, state, paths, mesh)
 
     # warm up: compile the query-embed and top-k programs before
-    # accepting traffic (a cache-hit gallery load compiles nothing)
+    # accepting traffic (a cache-hit gallery load compiles nothing).
+    # With --load-index the stored paths may not exist on this host, so
+    # warm the embed through a synthetic image and search with its output.
     t0 = time.time()
-    q = embed_fn(g_paths[:1])
+    if args.load_index:
+        import cv2
+        h, w = cfg.REID.SCALE[1], cfg.REID.SCALE[0]
+        fd, tmp = tempfile.mkstemp(suffix='.jpg')
+        try:
+            with os.fdopen(fd, 'wb'):
+                pass
+            cv2.imwrite(tmp, np.zeros((h, w, 3), np.uint8))
+            q = embed_fn([tmp])
+        finally:
+            os.unlink(tmp)
+    else:
+        q = embed_fn(g_paths[:1])
     index.search(q, min(args.topk, len(index)),
                  recall_target=args.approx_recall)
     logger.info('warmup done in %.1f s (gallery %d x %d, int8=%s, '
                 'sharded=%s)', time.time() - t0, len(index), index.dim,
                 index.int8, index.shard)
+    if args.save_index:
+        index.save(args.save_index)
 
     state_obj = ServerState(embed_fn, index, args.topk)
     httpd = ThreadingHTTPServer(
@@ -314,12 +357,23 @@ def main():
         with open(tmp, 'w') as f:
             f.write('{} {}\n'.format(host, port))
         os.replace(tmp, args.ready_file)
+
+    # SIGTERM (supervisors) -> clean serve_forever exit, so the finally
+    # block below re-saves the index with any /add'ed rows.  shutdown()
+    # blocks until the serve loop stops, so it must run off-thread (the
+    # handler fires ON the thread stuck in serve_forever).
+    def _graceful(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+    signal.signal(signal.SIGTERM, _graceful)
+
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         httpd.server_close()
+        if args.save_index:
+            index.save(args.save_index)
 
 
 if __name__ == '__main__':
