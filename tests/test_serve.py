@@ -100,6 +100,15 @@ def test_serve_daemon_e2e(tmp_path):
         assert os.path.basename(r['results'][0]['path']) == query
         assert r['results'][0]['distance'] < r['results'][-1]['distance']
         assert r['latency_ms'] > 0
+        assert r['reranked'] is False
+
+        # rerank=1: k-reciprocal re-ranking of the shortlist; the
+        # self-match must stay rank-1 and the flag must round-trip
+        r = _req(base + '/search?k=3&rerank=1&shortlist=8', data=raw,
+                 headers={'Content-Type': 'image/png'})
+        assert r['reranked'] is True
+        assert len(r['results']) == 3
+        assert os.path.basename(r['results'][0]['path']) == query
 
         # search_path: two queries in one request
         q2 = [os.path.join(imdir, gallery_imgs[1]),
@@ -162,11 +171,11 @@ def test_serve_daemon_e2e(tmp_path):
         conn.close()
 
         s = _req(base + '/stats')
-        assert s['requests'] >= 7 and s['gallery_size'] == n_gallery + 1
+        assert s['requests'] >= 8 and s['gallery_size'] == n_gallery + 1
         assert s['errors'] >= 3
         assert s['adds'] == 1
-        # only searches feed the latency percentiles (3 so far)
-        assert s['latency_ms']['count'] == 3
+        # only searches feed the latency percentiles (4 so far)
+        assert s['latency_ms']['count'] == 4
     finally:
         server.terminate()
         try:

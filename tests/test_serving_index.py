@@ -131,3 +131,62 @@ def test_save_is_atomic(tmp_path):
     import os
     assert os.path.exists(f)
     assert not os.path.exists(f + '.tmp.npz')  # tmp renamed away
+
+
+def test_search_reranked_full_shortlist_is_global_rerank():
+    # with shortlist >= gallery the two-stage path must reproduce the
+    # global single-query k-reciprocal re-ranking (the evaluator's
+    # golden re_ranking) exactly: same candidate set, same math — only
+    # the row order differs (shortlist is distance-sorted), which the
+    # algorithm is invariant to up to float summation order
+    from pps_tpu.evaluation.metrics import compute_dist
+    from pps_tpu.evaluation.rerank import re_ranking
+    q, g = _data(ng=60, nq=1, seed=7)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    d, i = idx.search_reranked(q, k=60, shortlist=60, k1=20, k2=6)
+    qg = compute_dist(q, g, 'euclidean')
+    qq = compute_dist(q, q, 'euclidean')
+    gg = compute_dist(g, g, 'euclidean')
+    golden = re_ranking(qg, qq, gg, k1=20, k2=6)[0]
+    np.testing.assert_array_equal(i[0], np.argsort(golden, kind='stable'))
+    np.testing.assert_allclose(d[0], np.sort(golden), rtol=1e-5, atol=1e-6)
+
+
+def test_search_reranked_int8_uses_dequantized_rows():
+    # int8 index: the rerank math must run on the SAME dequantized rows
+    # the device search scores (not the original f32 features)
+    from pps_tpu.evaluation.rerank import re_ranking
+    from pps_tpu.engine.serving import _euclidean
+    q, g = _data(ng=40, nq=1, seed=8)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=True)
+    d, i = idx.search_reranked(q, k=40, shortlist=40, k1=15, k2=4)
+    rows = idx._rows_f32(np.arange(len(g)))
+    golden = re_ranking(_euclidean(q, rows), np.zeros((1, 1), np.float32),
+                        _euclidean(rows, rows), k1=15, k2=4)[0]
+    np.testing.assert_array_equal(i[0], np.argsort(golden, kind='stable'))
+    np.testing.assert_allclose(d[0], np.sort(golden), rtol=1e-5, atol=1e-6)
+
+
+def test_search_reranked_shortlist_and_independence():
+    q, g = _data(ng=200, nq=3, seed=9)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    # queries sitting ON gallery rows keep their self-match at rank 1
+    probes = g[[4, 77, 130]] + 1e-4
+    d, i = idx.search_reranked(probes, k=5, shortlist=20)
+    assert d.shape == (3, 5) and i.shape == (3, 5)
+    assert list(i[:, 0]) == [4, 77, 130]
+    assert (np.diff(d, axis=1) >= 0).all()
+    # per-query independence: batching queries must not change results
+    for qi in range(3):
+        d1, i1 = idx.search_reranked(probes[qi], k=5, shortlist=20)
+        np.testing.assert_array_equal(i1[0], i[qi])
+        np.testing.assert_array_equal(d1[0], d[qi])
+
+
+def test_search_reranked_k_larger_than_shortlist():
+    q, g = _data(ng=50, nq=2, seed=10)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    # k > shortlist: shortlist widens to k, never truncates below it
+    d, i = idx.search_reranked(q, k=30, shortlist=10)
+    assert i.shape == (2, 30)
+    assert (i >= 0).all()

@@ -27,8 +27,12 @@ Endpoints (all JSON):
   GET  /healthz      liveness + gallery size/dim/placement
   GET  /stats        request counters + latency percentiles (ms)
   POST /search       body = raw jpg/png bytes; ?k=10 -> ranked matches
+                     (?rerank=1 [&shortlist=100] applies k-reciprocal
+                     re-ranking to the device-retrieved shortlist — the
+                     reference evaluator's quality, per query, any scale)
   POST /search_path  {"path": "/img.jpg", "k": 10} or {"paths": [...]}
-                     -> ranked matches per query (server-local files)
+                     -> ranked matches per query (server-local files);
+                     {"rerank": true, "shortlist": 100} as for /search
   POST /add          {"paths": [...]} -> embed + append to the gallery
 
 Measured single-query end-to-end device latency on one v5e chip:
@@ -103,7 +107,10 @@ class ServerState(object):
             return out
 
 
-def make_handler(state, recall_target):
+def make_handler(state, recall_target, rerank_cfg=None):
+    # rerank_cfg: dict(shortlist, k1, k2, lam) server defaults for
+    # per-request k-reciprocal re-ranking (requests opt in / override)
+    rerank_cfg = rerank_cfg or {}
 
     class Handler(BaseHTTPRequestHandler):
         server_version = 'pps-tpu-serve/1.0'
@@ -137,6 +144,27 @@ def make_handler(state, recall_target):
             length = int(self.headers.get('Content-Length', 0))
             return self.rfile.read(length) if length else b''
 
+        def _search(self, q, k, opts):
+            """Route a query batch through plain or re-ranked retrieval.
+
+            ``opts`` carries per-request overrides (query params for
+            /search, JSON keys for /search_path); server flags provide
+            the defaults.  Returns ((dists, idxs), reranked_flag).
+            """
+            if str(opts.get('rerank', '')).lower() in ('1', 'true', 'yes'):
+                d, i = state.index.search_reranked(
+                    q, k,
+                    shortlist=int(opts.get(
+                        'shortlist', rerank_cfg.get('shortlist', 100))),
+                    k1=int(opts.get('k1', rerank_cfg.get('k1', 20))),
+                    k2=int(opts.get('k2', rerank_cfg.get('k2', 6))),
+                    lambda_value=float(opts.get(
+                        'lambda', rerank_cfg.get('lam', 0.3))),
+                    recall_target=recall_target)
+                return (d, i), True
+            d, i = state.index.search(q, k, recall_target=recall_target)
+            return (d, i), False
+
         def do_GET(self):
             path = urlparse(self.path).path
             if path == '/healthz':
@@ -161,8 +189,9 @@ def make_handler(state, recall_target):
             raw = self._read_body()
             try:
                 if url.path == '/search':
-                    qs = parse_qs(url.query)
-                    k = int(qs.get('k', [state.default_k])[0])
+                    opts = {kk: vv[0]
+                            for kk, vv in parse_qs(url.query).items()}
+                    k = int(opts.get('k', state.default_k))
                     if not raw:
                         raise ValueError('empty body; POST image bytes')
                     ctype = self.headers.get('Content-Type', 'image/jpeg')
@@ -175,11 +204,11 @@ def make_handler(state, recall_target):
                             q = state.embed_fn([tmp])
                     finally:
                         os.unlink(tmp)
-                    d, i = state.index.search(q, k,
-                                              recall_target=recall_target)
+                    (d, i), reranked = self._search(q, k, opts)
                     ms = (time.perf_counter() - t0) * 1e3
                     state.record(ms)
                     self._json(200, {'results': self._results(d, i)[0],
+                                     'reranked': reranked,
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/search_path':
                     req = json.loads(raw or '{}')
@@ -200,11 +229,11 @@ def make_handler(state, recall_target):
                     k = int(req.get('k', state.default_k))
                     with state.lock:
                         q = state.embed_fn(paths)
-                    d, i = state.index.search(q, k,
-                                              recall_target=recall_target)
+                    (d, i), reranked = self._search(q, k, req)
                     ms = (time.perf_counter() - t0) * 1e3
                     state.record(ms)
                     self._json(200, {'results': self._results(d, i),
+                                     'reranked': reranked,
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/add':
                     req = json.loads(raw or '{}')
@@ -264,6 +293,12 @@ def main():
                         help='write "<host> <port>" here once warmed up '
                              '(for supervisors / tests)')
     parser.add_argument('--refresh-cache', action='store_true')
+    parser.add_argument('--rerank-shortlist', type=int, default=100,
+                        help='candidate-set size for per-request '
+                             'k-reciprocal re-ranking (rerank=1 requests)')
+    parser.add_argument('--rerank-k1', type=int, default=20)
+    parser.add_argument('--rerank-k2', type=int, default=6)
+    parser.add_argument('--rerank-lambda', type=float, default=0.3)
     parser.add_argument('--load-index', default=None, metavar='NPZ',
                         help='start from a RetrievalIndex.save file '
                              'instead of embedding --gallery (int8-ness '
@@ -347,8 +382,11 @@ def main():
         index.save(args.save_index)
 
     state_obj = ServerState(embed_fn, index, args.topk)
+    rerank_cfg = {'shortlist': args.rerank_shortlist, 'k1': args.rerank_k1,
+                  'k2': args.rerank_k2, 'lam': args.rerank_lambda}
     httpd = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(state_obj, args.approx_recall))
+        (args.host, args.port),
+        make_handler(state_obj, args.approx_recall, rerank_cfg))
     host, port = httpd.server_address[:2]
     logger.info('serving on http://%s:%d', host, port)
     print('serving on http://{}:{}'.format(host, port), flush=True)
