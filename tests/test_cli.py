@@ -256,13 +256,31 @@ def test_retrieve_cli_int8_gallery(tmp_path):
     assert query in first, out
     assert os.path.exists(os.path.join(imdir, 'gallery_features.npz'))
 
-    # --shard-gallery: row-shard over the 8-device mesh; gallery embeds
-    # come from the cache, the CLI contract and ranking must hold
+    # --shard-gallery + --rerank + --save-index: row-shard over the
+    # 8-device mesh, k-reciprocal re-rank the shortlist (self-match must
+    # survive re-ranking), persist the placed index
+    idx_file = str(tmp_path / 'index.npz')
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, 'tools', 'retrieve.py'),
          '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
          '--query', os.path.join(imdir, query), '--topk', '3',
-         '--int8-gallery', '--shard-gallery'],
+         '--int8-gallery', '--shard-gallery',
+         '--rerank', '--rerank-shortlist', '8',
+         '--save-index', idx_file],
+        capture_output=True, text=True, timeout=540, cwd=ROOT, env=env)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    first = [l for l in out.splitlines() if '#1' in l][0]
+    assert query in first, out
+    assert os.path.exists(idx_file)
+
+    # --load-index with no --gallery: the persisted rows answer directly
+    # (no re-embed; int8-ness travels with the file)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, 'tools', 'retrieve.py'),
+         '--cfg', cfg_file, '--weights', ckpt,
+         '--query', os.path.join(imdir, query), '--topk', '3',
+         '--load-index', idx_file],
         capture_output=True, text=True, timeout=540, cwd=ROOT, env=env)
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out

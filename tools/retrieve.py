@@ -5,11 +5,14 @@ matches.
 The serving surface the reference never shipped (its closest analogs are
 the dormant detection demos tools/infer*.py): loads a trained checkpoint,
 embeds a gallery directory once (features cached to gallery_features.npz),
-then answers query images with `streaming_topk` — Euclidean top-k over the
-gallery without materializing the full distance matrix.
+places it as a `pps_tpu.engine.serving.RetrievalIndex` (f32/int8,
+single-device or row-sharded over the mesh), then answers query images
+with the streaming top-k — optionally k-reciprocal re-ranked per query
+(`--rerank`, the evaluator's method on the device-retrieved shortlist).
 
   python tools/retrieve.py --cfg <yaml> --weights model_final.pkl \
-      --gallery DIR --query IMG [IMG ...] [--topk 10] [--vis OUT_DIR]
+      --gallery DIR --query IMG [IMG ...] [--topk 10] [--rerank] \
+      [--vis OUT_DIR] [--save-index idx.npz | --load-index idx.npz]
 """
 
 import os as _os
@@ -28,8 +31,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--cfg', dest='cfg_file', required=True)
     parser.add_argument('--weights', required=True)
-    parser.add_argument('--gallery', required=True,
-                        help='directory of gallery jpgs')
+    parser.add_argument('--gallery', default=None,
+                        help='directory of gallery jpgs (required unless '
+                             '--load-index)')
     parser.add_argument('--query', nargs='+', required=True)
     parser.add_argument('--topk', type=int, default=10)
     parser.add_argument('--approx-recall', type=float, default=None,
@@ -46,6 +50,19 @@ def main():
                              '(pps_tpu.parallel.retrieval): capacity and '
                              'scan bandwidth scale linearly with chips; '
                              'exact cross-shard merge')
+    parser.add_argument('--rerank', action='store_true',
+                        help='k-reciprocal re-rank the per-query shortlist '
+                             '(the evaluation protocol\'s re-ranking, '
+                             'interactive)')
+    parser.add_argument('--rerank-shortlist', type=int, default=100)
+    parser.add_argument('--rerank-k1', type=int, default=20)
+    parser.add_argument('--rerank-k2', type=int, default=6)
+    parser.add_argument('--rerank-lambda', type=float, default=0.3)
+    parser.add_argument('--load-index', default=None, metavar='NPZ',
+                        help='start from a RetrievalIndex.save file '
+                             'instead of embedding --gallery')
+    parser.add_argument('--save-index', default=None, metavar='NPZ',
+                        help='persist the placed index for later runs')
     parser.add_argument('--vis', default=None,
                         help='write rank-list grids to this directory')
     parser.add_argument('--refresh-cache', action='store_true')
@@ -59,9 +76,9 @@ def main():
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
-    from pps_tpu.engine.serving import embed_gallery_cached, embed_paths
+    from pps_tpu.engine.serving import (RetrievalIndex,
+                                        embed_gallery_cached, embed_paths)
     from pps_tpu.models.model import build_model
-    from pps_tpu.ops.pallas.topk import streaming_topk
     from pps_tpu.parallel import mesh as mesh_lib
     from pps_tpu.utils.logging import setup_logging
 
@@ -77,32 +94,39 @@ def main():
                                                 params, state)
     mesh = mesh_lib.build_mesh(cfg)
 
-    g_feats, gallery_paths = embed_gallery_cached(
-        cfg, model, params, state, args.gallery, mesh,
-        weights_path=args.weights, refresh=args.refresh_cache)
+    if args.load_index:
+        index = RetrievalIndex.load(args.load_index, mesh=mesh,
+                                    shard=args.shard_gallery)
+    else:
+        if not args.gallery:
+            parser.error('--gallery is required unless --load-index')
+        g_feats, g_paths = embed_gallery_cached(
+            cfg, model, params, state, args.gallery, mesh,
+            weights_path=args.weights, refresh=args.refresh_cache)
+        index = RetrievalIndex(g_feats, g_paths, mesh=mesh,
+                               int8=args.int8_gallery,
+                               shard=args.shard_gallery)
+    if args.save_index:
+        index.save(args.save_index)
+    gallery_paths = index.paths
 
     q_feats = embed_paths(cfg, model, params, state, list(args.query), mesh)
-    k = min(args.topk, len(gallery_paths))
-    if args.shard_gallery:
-        from pps_tpu.parallel.retrieval import shard_gallery, sharded_topk
-        gd, sd, n = shard_gallery(g_feats, mesh, int8=args.int8_gallery)
-        dists, idxs = sharded_topk(q_feats, gd, ng_total=n, k=k,
-                                   recall_target=args.approx_recall,
-                                   g_scale=sd, mesh=mesh)
-    elif args.int8_gallery:
-        from pps_tpu.ops.pallas.topk import quantize_gallery
-        g8, gscale = quantize_gallery(g_feats)
-        dists, idxs = streaming_topk(q_feats, g8, k=k,
-                                     recall_target=args.approx_recall,
-                                     g_scale=gscale)
+    k = min(args.topk, len(index))
+    if args.rerank:
+        dists, idxs = index.search_reranked(
+            q_feats, k, shortlist=args.rerank_shortlist,
+            k1=args.rerank_k1, k2=args.rerank_k2,
+            lambda_value=args.rerank_lambda,
+            recall_target=args.approx_recall)
     else:
-        dists, idxs = streaming_topk(q_feats, g_feats, k=k,
-                                     recall_target=args.approx_recall)
-    dists, idxs = np.asarray(dists), np.asarray(idxs)
+        dists, idxs = index.search(q_feats, k,
+                                   recall_target=args.approx_recall)
 
     for qi, qpath in enumerate(args.query):
         print('query: {}'.format(qpath))
-        for rank in range(k):
+        for rank in range(idxs.shape[1]):
+            if idxs[qi, rank] < 0:
+                break
             print('  #{:<3d} d={:.4f}  {}'.format(
                 rank + 1, dists[qi, rank], gallery_paths[idxs[qi, rank]]))
 
@@ -113,7 +137,8 @@ def main():
         dist_rows = np.full((len(args.query), len(gallery_paths)), np.inf,
                             np.float32)
         for qi in range(len(args.query)):
-            dist_rows[qi, idxs[qi]] = dists[qi]
+            valid = idxs[qi] >= 0
+            dist_rows[qi, idxs[qi][valid]] = dists[qi][valid]
         visualize_rank_lists(
             dist_rows,
             np.arange(1, len(args.query) + 1),
