@@ -120,6 +120,25 @@ def test_serve_daemon_e2e(tmp_path):
         for qi, qpath in enumerate(q2):
             assert r['results'][qi][0]['path'] == qpath
 
+        # multi-query pooling: the two paths pool into ONE query (the
+        # evaluator's multi-query protocol) -> a single ranked list
+        r = _req(base + '/search_path',
+                 data=json.dumps({'paths': q2, 'k': 2,
+                                  'multi': True}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert len(r['results']) == 1 and len(r['results'][0]) == 2
+
+        # unknown pool type is a 400, not a crash
+        try:
+            _req(base + '/search_path',
+                 data=json.dumps({'paths': q2, 'multi': True,
+                                  'pool': 'median'}).encode(),
+                 headers={'Content-Type': 'application/json'})
+            assert False, 'expected HTTP 400'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert 'pool' in json.loads(e.read().decode())['error']
+
         # add: a NEW image (outside the gallery dir) becomes findable
         new_img = str(tmp_path / 'newcomer.png')
         rng = np.random.RandomState(99)
@@ -171,11 +190,11 @@ def test_serve_daemon_e2e(tmp_path):
         conn.close()
 
         s = _req(base + '/stats')
-        assert s['requests'] >= 8 and s['gallery_size'] == n_gallery + 1
-        assert s['errors'] >= 3
+        assert s['requests'] >= 10 and s['gallery_size'] == n_gallery + 1
+        assert s['errors'] >= 4
         assert s['adds'] == 1
-        # only searches feed the latency percentiles (4 so far)
-        assert s['latency_ms']['count'] == 4
+        # only searches feed the latency percentiles (5 so far)
+        assert s['latency_ms']['count'] == 5
     finally:
         server.terminate()
         try:

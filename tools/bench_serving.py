@@ -34,6 +34,11 @@ def main():
                     help='hold the gallery f32 (default int8; f32 at '
                          '1M x 3968-d does not fit v5e HBM)')
     ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--rerank', action='store_true',
+                    help='also time the per-query k-reciprocal re-rank '
+                         'of the top-k shortlist (a HOST stage after the '
+                         'device scan: gather+dequant k rows, euclidean, '
+                         're_ranking) and report the combined latency')
     args = ap.parse_args()
 
     import jax
@@ -104,13 +109,47 @@ def main():
         run(n)  # compile both trip counts
     lat = (run(2 + args.iters) - run(2)) / args.iters
 
-    print(json.dumps({
+    out = {
         'single_query_latency_ms': round(lat * 1e3, 2),
         'gallery_size': ng, 'dim': d, 'topk': args.topk,
         'gallery_dtype': 'float32' if args.f32_gallery else 'int8',
         'embed': 'int8-ptq flagship ({}x{})'.format(h, w),
         'device_kind': jax.devices()[0].device_kind,
-    }))
+    }
+
+    if args.rerank:
+        # the re-rank increment is pure host work on the k-row shortlist
+        # (serving.RetrievalIndex.search_reranked): gather+dequant the
+        # candidate rows from the host mirror, two small euclidean
+        # matrices, then the golden k-reciprocal math on a (k+1)-set.
+        # Timed standalone — it overlaps nothing on the device.
+        from pps_tpu.evaluation.metrics import compute_dist
+        from pps_tpu.evaluation.rerank import re_ranking
+        qv = rng.randn(1, d).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        cand = rng.choice(ng, size=args.topk, replace=False)
+        host_g = gal if args.f32_gallery else g8
+        host_s = None if args.f32_gallery else sc
+
+        def host_stage():
+            rows = host_g[cand].astype(np.float32)
+            if host_s is not None:
+                rows *= host_s[cand][:, None]
+            qg = compute_dist(qv, rows, 'euclidean')
+            gg = compute_dist(rows, rows, 'euclidean')
+            rr = re_ranking(qg, np.zeros((1, 1), np.float32), gg)[0]
+            return np.argsort(rr, kind='stable')
+
+        host_stage()  # warm numpy
+        t0 = time.perf_counter()
+        reps = 50
+        for _ in range(reps):
+            host_stage()
+        host_ms = (time.perf_counter() - t0) / reps * 1e3
+        out['rerank_host_ms'] = round(host_ms, 2)
+        out['reranked_total_ms'] = round(lat * 1e3 + host_ms, 2)
+
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

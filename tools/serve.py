@@ -32,7 +32,11 @@ Endpoints (all JSON):
                      reference evaluator's quality, per query, any scale)
   POST /search_path  {"path": "/img.jpg", "k": 10} or {"paths": [...]}
                      -> ranked matches per query (server-local files);
-                     {"rerank": true, "shortlist": 100} as for /search
+                     {"rerank": true, "shortlist": 100} as for /search;
+                     {"multi": true [, "pool": "average"|"max"]} pools
+                     all paths into ONE query (the evaluator's
+                     multi-query protocol: pool features, no renorm)
+                     -> a single ranked list
   POST /add          {"paths": [...]} -> embed + append to the gallery
 
 Measured single-query end-to-end device latency on one v5e chip:
@@ -229,6 +233,19 @@ def make_handler(state, recall_target, rerank_cfg=None):
                     k = int(req.get('k', state.default_k))
                     with state.lock:
                         q = state.embed_fn(paths)
+                    multi = str(req.get('multi', '')).lower() in (
+                        '1', 'true', 'yes')
+                    if multi:
+                        # the evaluator's multi-query pooling: mean/max
+                        # over the feature rows, NO re-normalization
+                        # (evaluation/evaluator.py:114-116)
+                        pool_type = req.get('pool', 'average')
+                        if pool_type not in ('average', 'max'):
+                            raise ValueError('"pool" must be "average" '
+                                             'or "max"')
+                        q = np.asarray(q)
+                        q = (q.mean(axis=0) if pool_type == 'average'
+                             else q.max(axis=0))[None]
                     (d, i), reranked = self._search(q, k, req)
                     ms = (time.perf_counter() - t0) * 1e3
                     state.record(ms)
