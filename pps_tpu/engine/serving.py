@@ -19,6 +19,7 @@ int8 gallery; BASELINE.md).
 import glob
 import logging
 import os
+import queue
 import threading
 
 import numpy as np
@@ -89,6 +90,91 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
                  wkey=np.array(wkey))
         logger.info('cached %d gallery embeddings to %s', len(paths), cache)
     return np.asarray(feats, np.float32), paths
+
+
+class EmbedBatcher:
+    """Adaptive micro-batching for query embedding: concurrent requests
+    coalesce into ONE device dispatch.
+
+    The extraction graph pads every call to a fixed batch
+    (TEST.IMS_PER_BATCH x devices — engine/test.py:207-211), so
+    embedding one query costs the same device time as embedding up to
+    that many; a daemon that serializes per-request embeds wastes
+    (B-1)/B of every forward under concurrent load.  Continuous
+    batching, no timers: while one dispatch runs, arrivals queue; the
+    dispatcher then takes everything waiting (up to ``max_batch``) in
+    one call.  Batching emerges exactly when there is contention and
+    adds zero latency when there is none.
+
+    A failing coalesced dispatch (e.g. one undecodable image) retries
+    each request individually so the poison request fails alone.
+    """
+
+    _STOP = object()
+
+    def __init__(self, embed_fn, max_batch=64):
+        self._embed = embed_fn                # list[path] -> [N, D] f32
+        self.max_batch = max(1, int(max_batch))
+        self._q = queue.Queue()
+        self.dispatches = 0                   # device calls issued
+        self.images = 0                       # images embedded
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='embed-batcher')
+        self._thread.start()
+
+    def close(self):
+        self._q.put(self._STOP)
+        self._thread.join(timeout=60)
+
+    def embed(self, paths):
+        """Blocking: returns [len(paths), D] f32 (raises on bad input)."""
+        box = {'feats': None, 'err': None}
+        done = threading.Event()
+        self._q.put((list(paths), box, done))
+        done.wait()
+        if box['err'] is not None:
+            raise box['err']
+        return box['feats']
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                return
+            batch = [item]
+            n = len(item[0])
+            while n < self.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._q.put(nxt)  # handle shutdown after this batch
+                    break
+                batch.append(nxt)
+                n += len(nxt[0])
+            all_paths = [p for req in batch for p in req[0]]
+            try:
+                feats = np.asarray(self._embed(all_paths))
+                self.dispatches += 1
+                off = 0
+                for paths, box, _ in batch:
+                    box['feats'] = feats[off:off + len(paths)]
+                    off += len(paths)
+            except Exception as e:  # noqa: BLE001 - isolate the poison req
+                if len(batch) == 1:
+                    batch[0][1]['err'] = e
+                else:
+                    for paths, box, _ in batch:
+                        try:
+                            box['feats'] = np.asarray(self._embed(paths))
+                            self.dispatches += 1
+                        except Exception as e2:  # noqa: BLE001
+                            box['err'] = e2
+            finally:
+                self.images += len(all_paths)
+                for _, _, done in batch:
+                    done.set()
 
 
 class RetrievalIndex:

@@ -1,0 +1,148 @@
+"""EmbedBatcher (engine/serving.py): continuous micro-batching of
+concurrent embed requests into one device dispatch — coalescing,
+ordering, max-batch cap, poison-request isolation, shutdown.
+
+Pure threading tests (the embed_fn is a stub): the device-facing
+behavior is covered by the daemon e2e in test_serve.py.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from pps_tpu.engine.serving import EmbedBatcher
+
+
+def _row(p):
+    return [float(int(p)), float(int(p)) + 0.5]
+
+
+def test_coalesces_waiting_requests_into_one_dispatch():
+    calls = []
+    gate = threading.Event()
+
+    def fake(paths):
+        calls.append(list(paths))
+        if len(calls) == 1:
+            gate.wait(20)  # hold dispatch 1 while the others queue
+        return np.array([_row(p) for p in paths], np.float32)
+
+    b = EmbedBatcher(fake, max_batch=16)
+    try:
+        results = {}
+
+        def worker(i):
+            results[i] = b.embed([str(i)])
+
+        first = threading.Thread(target=worker, args=(99,))
+        first.start()
+        time.sleep(0.3)  # dispatcher is now blocked inside fake()
+        rest = [threading.Thread(target=worker, args=(i,))
+                for i in range(6)]
+        for t in rest:
+            t.start()
+        time.sleep(0.3)  # let all 6 enqueue behind the running dispatch
+        gate.set()
+        first.join(20)
+        for t in rest:
+            t.join(20)
+
+        # every caller got ITS rows back
+        np.testing.assert_array_equal(results[99][0], _row('99'))
+        for i in range(6):
+            np.testing.assert_array_equal(results[i][0], _row(str(i)))
+        # the 6 queued requests rode ONE dispatch
+        assert len(calls) == 2, calls
+        assert sorted(len(c) for c in calls) == [1, 6], calls
+        assert b.dispatches == 2 and b.images == 7
+    finally:
+        b.close()
+
+
+def test_max_batch_caps_coalescing():
+    calls = []
+    gate = threading.Event()
+
+    def fake(paths):
+        calls.append(list(paths))
+        if len(calls) == 1:
+            gate.wait(20)
+        return np.array([_row(p) for p in paths], np.float32)
+
+    b = EmbedBatcher(fake, max_batch=3)
+    try:
+        threads = [threading.Thread(target=b.embed, args=(['%d' % i],))
+                   for i in range(9)]
+        threads[0].start()
+        time.sleep(0.3)
+        for t in threads[1:]:
+            t.start()
+        time.sleep(0.3)
+        gate.set()
+        for t in threads:
+            t.join(20)
+        assert all(len(c) <= 3 for c in calls), calls
+        assert sum(len(c) for c in calls) == 9
+    finally:
+        b.close()
+
+
+def test_poison_request_fails_alone():
+    def fake(paths):
+        if 'bad' in paths:
+            raise ValueError('cannot decode bad')
+        return np.array([_row(p) for p in paths], np.float32)
+
+    gate = threading.Event()
+    calls = []
+
+    def gated(paths):
+        calls.append(list(paths))
+        if len(calls) == 1:
+            gate.wait(20)
+        return fake(paths)
+
+    b = EmbedBatcher(gated, max_batch=16)
+    try:
+        results, errors = {}, {}
+
+        def worker(key, paths):
+            try:
+                results[key] = b.embed(paths)
+            except Exception as e:  # noqa: BLE001
+                errors[key] = e
+
+        first = threading.Thread(target=worker, args=('warm', ['7']))
+        first.start()
+        time.sleep(0.3)
+        ts = [threading.Thread(target=worker, args=('ok1', ['1'])),
+              threading.Thread(target=worker, args=('bad', ['bad'])),
+              threading.Thread(target=worker, args=('ok2', ['2']))]
+        for t in ts:
+            t.start()
+        time.sleep(0.3)
+        gate.set()
+        first.join(20)
+        for t in ts:
+            t.join(20)
+
+        # the coalesced dispatch failed; each request retried alone —
+        # good requests succeed, only the poison one raises
+        assert 'bad' in errors and isinstance(errors['bad'], ValueError)
+        np.testing.assert_array_equal(results['ok1'][0], _row('1'))
+        np.testing.assert_array_equal(results['ok2'][0], _row('2'))
+        np.testing.assert_array_equal(results['warm'][0], _row('7'))
+    finally:
+        b.close()
+
+
+def test_multi_path_request_and_close():
+    b = EmbedBatcher(
+        lambda paths: np.array([_row(p) for p in paths], np.float32))
+    out = b.embed(['3', '1', '4'])
+    np.testing.assert_array_equal(out,
+                                  np.array([_row('3'), _row('1'),
+                                            _row('4')], np.float32))
+    b.close()
+    assert not b._thread.is_alive()

@@ -195,6 +195,53 @@ def test_serve_daemon_e2e(tmp_path):
         assert s['adds'] == 1
         # only searches feed the latency percentiles (5 so far)
         assert s['latency_ms']['count'] == 5
+
+        # concurrency hammer: parallel clients racing mixed search
+        # flavors against an /add — every reply must be a correct
+        # ranking (embed+search serialize on the server's device lock;
+        # index growth must never corrupt in-flight searches)
+        import threading
+        errors = []
+
+        def client(j):
+            try:
+                qp = os.path.join(imdir, gallery_imgs[j % n_gallery])
+                for flavor in ({}, {'rerank': True, 'shortlist': 8},
+                               {'multi': True}):
+                    body = dict(flavor)
+                    body.update({'paths': [qp], 'k': 2})
+                    rr = _req(base + '/search_path',
+                              data=json.dumps(body).encode(),
+                              headers={'Content-Type':
+                                       'application/json'})
+                    assert rr['results'][0][0]['path'] == qp, (flavor, rr)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def adder():
+            try:
+                _req(base + '/add',
+                     data=json.dumps({'paths': [new_img]}).encode(),
+                     headers={'Content-Type': 'application/json'})
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=client, args=(j,))
+                   for j in range(6)] + [threading.Thread(target=adder)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        h = _req(base + '/healthz')
+        assert h['gallery_size'] == n_gallery + 2  # both adds landed
+
+        # the embed micro-batcher accounts for every embedded image;
+        # under the hammer, concurrent embeds coalesce into fewer
+        # device dispatches than images
+        e = _req(base + '/stats')['embed']
+        assert e['images'] >= e['dispatches'] >= 1
+        assert e['avg_batch'] >= 1.0
     finally:
         server.terminate()
         try:
@@ -227,7 +274,8 @@ def test_serve_daemon_e2e(tmp_path):
         base = 'http://{}:{}'.format(host, port)
 
         h = _req(base + '/healthz')
-        assert h['gallery_size'] == n_gallery + 1  # newcomer persisted
+        # both /add'ed rows persisted via the graceful-shutdown save
+        assert h['gallery_size'] == n_gallery + 2
         assert h['int8'] is True  # precision travels with the file
 
         with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:

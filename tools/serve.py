@@ -10,7 +10,10 @@ checkpoint once, embeds (or cache-loads) a gallery directory, places it
 on the accelerator (`pps_tpu.engine.serving.RetrievalIndex` — f32 or
 int8, single-device or row-sharded over the whole mesh), warms up the
 compile, then answers queries until stopped.  stdlib HTTP only — no
-server-framework dependency.
+server-framework dependency.  Concurrent query embeds coalesce into
+one device dispatch (`EmbedBatcher` continuous batching: the extraction
+graph pads to a fixed batch, so up to --max-embed-batch queries ride
+one forward for the price every single query already pays).
 
   python tools/serve.py --cfg <yaml> --weights model_final.pkl \
       --gallery DIR [--port 8080] [--int8-gallery] [--shard-gallery] \
@@ -68,13 +71,12 @@ from urllib.parse import urlparse, parse_qs
 
 
 class ServerState(object):
-    """Everything a request needs: the model closure, the index, stats."""
+    """Everything a request needs: the embed batcher, the index, stats."""
 
-    def __init__(self, embed_fn, index, default_k):
-        self.embed_fn = embed_fn          # list[path] -> [N, D] f32
-        self.index = index                # RetrievalIndex
+    def __init__(self, batcher, index, default_k):
+        self.batcher = batcher            # EmbedBatcher (serializes +
+        self.index = index                # coalesces device embeds)
         self.default_k = default_k
-        self.lock = threading.Lock()      # serialize embeds (one device)
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0
@@ -101,6 +103,9 @@ class ServerState(object):
             lat = np.asarray(self.latencies_ms, np.float64)
             out = {'requests': self.n_requests, 'errors': self.n_errors,
                    'adds': self.n_adds, 'gallery_size': len(self.index)}
+            nd, ni = self.batcher.dispatches, self.batcher.images
+            out['embed'] = {'dispatches': nd, 'images': ni,
+                            'avg_batch': round(ni / nd, 2) if nd else None}
             if lat.size:
                 out['latency_ms'] = {
                     'mean': round(float(lat.mean()), 2),
@@ -204,8 +209,7 @@ def make_handler(state, recall_target, rerank_cfg=None):
                     try:
                         with os.fdopen(fd, 'wb') as f:
                             f.write(raw)
-                        with state.lock:
-                            q = state.embed_fn([tmp])
+                        q = state.batcher.embed([tmp])
                     finally:
                         os.unlink(tmp)
                     (d, i), reranked = self._search(q, k, opts)
@@ -231,18 +235,17 @@ def make_handler(state, recall_target, rerank_cfg=None):
                         state.record(0.0, error=True)
                         return
                     k = int(req.get('k', state.default_k))
-                    with state.lock:
-                        q = state.embed_fn(paths)
                     multi = str(req.get('multi', '')).lower() in (
                         '1', 'true', 'yes')
+                    pool_type = req.get('pool', 'average')
+                    if multi and pool_type not in ('average', 'max'):
+                        raise ValueError('"pool" must be "average" '
+                                         'or "max"')
+                    q = state.batcher.embed(paths)
                     if multi:
                         # the evaluator's multi-query pooling: mean/max
                         # over the feature rows, NO re-normalization
                         # (evaluation/evaluator.py:114-116)
-                        pool_type = req.get('pool', 'average')
-                        if pool_type not in ('average', 'max'):
-                            raise ValueError('"pool" must be "average" '
-                                             'or "max"')
                         q = np.asarray(q)
                         q = (q.mean(axis=0) if pool_type == 'average'
                              else q.max(axis=0))[None]
@@ -267,8 +270,7 @@ def make_handler(state, recall_target, rerank_cfg=None):
                                          'paths': missing})
                         state.record(0.0, error=True)
                         return
-                    with state.lock:
-                        feats = state.embed_fn(paths)
+                    feats = state.batcher.embed(paths)
                     state.index.add(feats, paths)
                     state.record((time.perf_counter() - t0) * 1e3,
                                  search=False)
@@ -316,6 +318,12 @@ def main():
     parser.add_argument('--rerank-k1', type=int, default=20)
     parser.add_argument('--rerank-k2', type=int, default=6)
     parser.add_argument('--rerank-lambda', type=float, default=0.3)
+    parser.add_argument('--max-embed-batch', type=int, default=None,
+                        help='cap for coalescing concurrent query embeds '
+                             'into one device dispatch (default: the '
+                             'extraction batch, TEST.IMS_PER_BATCH x '
+                             'devices — the padded size one embed pays '
+                             'anyway)')
     parser.add_argument('--load-index', default=None, metavar='NPZ',
                         help='start from a RetrievalIndex.save file '
                              'instead of embedding --gallery (int8-ness '
@@ -335,7 +343,7 @@ def main():
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
-    from pps_tpu.engine.serving import (RetrievalIndex,
+    from pps_tpu.engine.serving import (EmbedBatcher, RetrievalIndex,
                                         embed_gallery_cached, embed_paths)
     from pps_tpu.models.model import build_model
     from pps_tpu.parallel import mesh as mesh_lib
@@ -372,6 +380,14 @@ def main():
     def embed_fn(paths):
         return embed_paths(cfg, model, params, state, paths, mesh)
 
+    # concurrent requests coalesce into one device dispatch, up to the
+    # padded extraction batch every single embed pays for anyway
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
+    batcher = EmbedBatcher(embed_fn,
+                           max_batch=args.max_embed_batch or
+                           per_dev * n_dev)
+
     # warm up: compile the query-embed and top-k programs before
     # accepting traffic (a cache-hit gallery load compiles nothing).
     # With --load-index the stored paths may not exist on this host, so
@@ -385,11 +401,11 @@ def main():
             with os.fdopen(fd, 'wb'):
                 pass
             cv2.imwrite(tmp, np.zeros((h, w, 3), np.uint8))
-            q = embed_fn([tmp])
+            q = batcher.embed([tmp])
         finally:
             os.unlink(tmp)
     else:
-        q = embed_fn(g_paths[:1])
+        q = batcher.embed(g_paths[:1])
     index.search(q, min(args.topk, len(index)),
                  recall_target=args.approx_recall)
     logger.info('warmup done in %.1f s (gallery %d x %d, int8=%s, '
@@ -398,7 +414,7 @@ def main():
     if args.save_index:
         index.save(args.save_index)
 
-    state_obj = ServerState(embed_fn, index, args.topk)
+    state_obj = ServerState(batcher, index, args.topk)
     rerank_cfg = {'shortlist': args.rerank_shortlist, 'k1': args.rerank_k1,
                   'k2': args.rerank_k2, 'lam': args.rerank_lambda}
     httpd = ThreadingHTTPServer(
@@ -427,6 +443,7 @@ def main():
         pass
     finally:
         httpd.server_close()
+        batcher.close()
         if args.save_index:
             index.save(args.save_index)
 
