@@ -92,6 +92,12 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
     return np.asarray(feats, np.float32), paths
 
 
+class Overloaded(RuntimeError):
+    """Raised by EmbedBatcher.embed when the pending queue exceeds
+    ``max_pending``: the server sheds load (HTTP 503) instead of
+    building an unbounded backlog whose tail latency is already lost."""
+
+
 class EmbedBatcher:
     """Adaptive micro-batching for query embedding: concurrent requests
     coalesce into ONE device dispatch.
@@ -112,22 +118,37 @@ class EmbedBatcher:
 
     _STOP = object()
 
-    def __init__(self, embed_fn, max_batch=64):
+    def __init__(self, embed_fn, max_batch=64, max_pending=None):
         self._embed = embed_fn                # list[path] -> [N, D] f32
         self.max_batch = max(1, int(max_batch))
+        self.max_pending = (None if max_pending is None
+                            else max(1, int(max_pending)))
         self._q = queue.Queue()
         self.dispatches = 0                   # device calls issued
         self.images = 0                       # images embedded
+        self.shed = 0                         # requests refused (overload)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='embed-batcher')
         self._thread.start()
+
+    def pending(self):
+        """Requests queued behind the running dispatch (approximate)."""
+        return self._q.qsize()
 
     def close(self):
         self._q.put(self._STOP)
         self._thread.join(timeout=60)
 
     def embed(self, paths):
-        """Blocking: returns [len(paths), D] f32 (raises on bad input)."""
+        """Blocking: returns [len(paths), D] f32 (raises on bad input;
+        raises Overloaded without queueing when the backlog exceeds
+        ``max_pending``)."""
+        if self.max_pending is not None and \
+                self._q.qsize() >= self.max_pending:
+            self.shed += 1
+            raise Overloaded(
+                'embed backlog at {} requests (max_pending={})'.format(
+                    self._q.qsize(), self.max_pending))
         box = {'feats': None, 'err': None}
         done = threading.Event()
         self._q.put((list(paths), box, done))

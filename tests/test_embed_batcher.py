@@ -146,3 +146,48 @@ def test_multi_path_request_and_close():
                                             _row('4')], np.float32))
     b.close()
     assert not b._thread.is_alive()
+
+
+def test_load_shedding_at_max_pending():
+    from pps_tpu.engine.serving import Overloaded
+    gate = threading.Event()
+    calls = []
+
+    def fake(paths):
+        calls.append(list(paths))
+        if len(calls) == 1:
+            gate.wait(20)
+        return np.array([_row(p) for p in paths], np.float32)
+
+    b = EmbedBatcher(fake, max_batch=1, max_pending=2)
+    try:
+        results, errors = {}, {}
+
+        def worker(i):
+            try:
+                results[i] = b.embed([str(i)])
+            except Overloaded as e:
+                errors[i] = e
+
+        first = threading.Thread(target=worker, args=(0,))
+        first.start()
+        time.sleep(0.3)  # dispatcher holds request 0 inside fake()
+        # two more fill the queue to max_pending
+        q1 = threading.Thread(target=worker, args=(1,))
+        q2 = threading.Thread(target=worker, args=(2,))
+        q1.start()
+        q2.start()
+        time.sleep(0.3)
+        # the backlog is full: this caller is shed immediately, unqueued
+        worker(3)
+        assert 3 in errors and isinstance(errors[3], Overloaded)
+        assert b.shed == 1
+        gate.set()
+        first.join(20)
+        q1.join(20)
+        q2.join(20)
+        # everyone who got in completed normally
+        for i in (0, 1, 2):
+            np.testing.assert_array_equal(results[i][0], _row(str(i)))
+    finally:
+        b.close()

@@ -72,7 +72,8 @@ def test_serve_daemon_e2e(tmp_path):
         [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
          '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
          '--port', '0', '--int8-gallery', '--topk', '3',
-         '--ready-file', ready, '--save-index', idx_file],
+         '--ready-file', ready, '--save-index', idx_file,
+         '--max-body-mb', '1'],
         stdout=log, stderr=log, cwd=ROOT, env=env)
     try:
         deadline = time.time() + 480
@@ -242,6 +243,31 @@ def test_serve_daemon_e2e(tmp_path):
         e = _req(base + '/stats')['embed']
         assert e['images'] >= e['dispatches'] >= 1
         assert e['avg_batch'] >= 1.0
+        assert e['pending'] == 0 and e['shed'] == 0
+
+        # oversized body: refused with 413 (drained, keep-alive intact —
+        # the daemon was started with --max-body-mb 1)
+        try:
+            _req(base + '/search?k=1', data=b'x' * (2 * 1024 * 1024),
+                 headers={'Content-Type': 'image/jpeg'})
+            assert False, 'expected HTTP 413'
+        except urllib.error.HTTPError as err:
+            assert err.code == 413
+            assert 'exceeds limit' in json.loads(
+                err.read().decode())['error']
+        # ... and the daemon keeps serving
+        assert _req(base + '/healthz')['status'] == 'ok'
+
+        # /metrics: Prometheus text exposition of the same counters
+        mreq = urllib.request.Request(base + '/metrics')
+        with urllib.request.urlopen(mreq, timeout=60) as resp:
+            assert resp.headers['Content-Type'].startswith('text/plain')
+            text = resp.read().decode()
+        for name in ('pps_serve_requests_total', 'pps_serve_gallery_size',
+                     'pps_serve_embed_dispatches_total',
+                     'pps_serve_search_latency_ms_p50'):
+            assert name in text, text
+        assert 'pps_serve_gallery_size %d' % (n_gallery + 2) in text
     finally:
         server.terminate()
         try:

@@ -26,9 +26,16 @@ and the file is ~4x smaller than the f32 feature cache.  The save
 happens after warmup AND again on graceful shutdown (SIGTERM/ctrl-C),
 so rows appended through /add survive a restart.
 
-Endpoints (all JSON):
+Production hygiene: bodies over --max-body-mb are refused with 413
+(drained in bounded chunks, keep-alive preserved); when the embed
+backlog passes --max-pending, searches shed with 503 instead of
+queueing into lost tail latency; GET /metrics serves the counters in
+Prometheus text format for scrapers.
+
+Endpoints (all JSON unless noted):
   GET  /healthz      liveness + gallery size/dim/placement
   GET  /stats        request counters + latency percentiles (ms)
+  GET  /metrics      the same counters, Prometheus text exposition
   POST /search       body = raw jpg/png bytes; ?k=10 -> ranked matches
                      (?rerank=1 [&shortlist=100] applies k-reciprocal
                      re-ranking to the device-retrieved shortlist — the
@@ -69,6 +76,12 @@ except ImportError:  # pragma: no cover - py<3.7
     ThreadingHTTPServer = HTTPServer
 from urllib.parse import urlparse, parse_qs
 
+from pps_tpu.engine.serving import Overloaded  # stdlib-light module
+
+
+class _BodyTooLarge(ValueError):
+    pass
+
 
 class ServerState(object):
     """Everything a request needs: the embed batcher, the index, stats."""
@@ -98,6 +111,40 @@ class ServerState(object):
             else:
                 self.n_adds += 1
 
+    def metrics_text(self):
+        """Prometheus text exposition of the same counters /stats
+        serves as JSON (scrapers point at GET /metrics)."""
+        s = self.stats()
+        lines = []
+
+        def emit(name, kind, value, help_text):
+            if value is None:
+                return
+            lines.append('# HELP pps_serve_{} {}'.format(name, help_text))
+            lines.append('# TYPE pps_serve_{} {}'.format(name, kind))
+            lines.append('pps_serve_{} {}'.format(name, value))
+
+        emit('requests_total', 'counter', s['requests'], 'HTTP requests')
+        emit('errors_total', 'counter', s['errors'], 'failed requests')
+        emit('adds_total', 'counter', s['adds'], 'gallery /add requests')
+        emit('gallery_size', 'gauge', s['gallery_size'], 'index rows')
+        e = s['embed']
+        emit('embed_dispatches_total', 'counter', e['dispatches'],
+             'device embed dispatches')
+        emit('embed_images_total', 'counter', e['images'],
+             'images embedded')
+        emit('embed_pending', 'gauge', e['pending'],
+             'embed requests queued')
+        emit('embed_shed_total', 'counter', e['shed'],
+             'requests refused at max_pending')
+        lat = s.get('latency_ms')
+        if lat:
+            for q in ('p50', 'p90', 'p99'):
+                emit('search_latency_ms_{}'.format(q), 'gauge', lat[q],
+                     'search latency {} (last {} searches)'.format(
+                         q, lat['count']))
+        return '\n'.join(lines) + '\n'
+
     def stats(self):
         with self.stats_lock:
             lat = np.asarray(self.latencies_ms, np.float64)
@@ -105,7 +152,9 @@ class ServerState(object):
                    'adds': self.n_adds, 'gallery_size': len(self.index)}
             nd, ni = self.batcher.dispatches, self.batcher.images
             out['embed'] = {'dispatches': nd, 'images': ni,
-                            'avg_batch': round(ni / nd, 2) if nd else None}
+                            'avg_batch': round(ni / nd, 2) if nd else None,
+                            'pending': self.batcher.pending(),
+                            'shed': self.batcher.shed}
             if lat.size:
                 out['latency_ms'] = {
                     'mean': round(float(lat.mean()), 2),
@@ -116,7 +165,8 @@ class ServerState(object):
             return out
 
 
-def make_handler(state, recall_target, rerank_cfg=None):
+def make_handler(state, recall_target, rerank_cfg=None,
+                 max_body_bytes=32 * 1024 * 1024):
     # rerank_cfg: dict(shortlist, k1, k2, lam) server defaults for
     # per-request k-reciprocal re-ranking (requests opt in / override)
     rerank_cfg = rerank_cfg or {}
@@ -151,6 +201,16 @@ def make_handler(state, recall_target, rerank_cfg=None):
 
         def _read_body(self):
             length = int(self.headers.get('Content-Length', 0))
+            if length > max_body_bytes:
+                # drain in bounded chunks (keep-alive stays usable),
+                # then refuse: an oversized POST must not allocate its
+                # own Content-Length on the server
+                left = length
+                while left > 0:
+                    left -= len(self.rfile.read(min(left, 1 << 20)))
+                raise _BodyTooLarge(
+                    'body {} bytes exceeds limit {}'.format(
+                        length, max_body_bytes))
             return self.rfile.read(length) if length else b''
 
         def _search(self, q, k, opts):
@@ -185,6 +245,14 @@ def make_handler(state, recall_target, rerank_cfg=None):
                     'sharded': state.index.shard})
             elif path == '/stats':
                 self._json(200, state.stats())
+            elif path == '/metrics':
+                body = state.metrics_text().encode('utf-8')
+                self.send_response(200)
+                self.send_header('Content-Type',
+                                 'text/plain; version=0.0.4')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {'error': 'unknown path {}'.format(path)})
 
@@ -195,7 +263,12 @@ def make_handler(state, recall_target, rerank_cfg=None):
             # keep-alive, replying without reading Content-Length bytes
             # leaves them in the socket and the next request on the
             # connection parses the leftover body as its request line
-            raw = self._read_body()
+            try:
+                raw = self._read_body()
+            except _BodyTooLarge as e:
+                state.record(0.0, error=True)
+                self._json(413, {'error': str(e)})
+                return
             try:
                 if url.path == '/search':
                     opts = {kk: vv[0]
@@ -280,6 +353,11 @@ def make_handler(state, recall_target, rerank_cfg=None):
                     self._json(404,
                                {'error': 'unknown path {}'.format(url.path)})
                     state.record(0.0, error=True)
+            except Overloaded as e:
+                # shed load: the embed backlog is past max_pending —
+                # a bounded 503 beats queueing into lost tail latency
+                state.record((time.perf_counter() - t0) * 1e3, error=True)
+                self._json(503, {'error': str(e), 'retry': True})
             except Exception as e:  # noqa: BLE001 - report, keep serving
                 state.record((time.perf_counter() - t0) * 1e3, error=True)
                 self._json(400, {'error': '{}: {}'.format(
@@ -324,6 +402,12 @@ def main():
                              'extraction batch, TEST.IMS_PER_BATCH x '
                              'devices — the padded size one embed pays '
                              'anyway)')
+    parser.add_argument('--max-pending', type=int, default=256,
+                        help='shed load (HTTP 503) when this many embed '
+                             'requests are already queued')
+    parser.add_argument('--max-body-mb', type=int, default=32,
+                        help='refuse request bodies larger than this '
+                             '(HTTP 413)')
     parser.add_argument('--load-index', default=None, metavar='NPZ',
                         help='start from a RetrievalIndex.save file '
                              'instead of embedding --gallery (int8-ness '
@@ -386,7 +470,8 @@ def main():
     per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
     batcher = EmbedBatcher(embed_fn,
                            max_batch=args.max_embed_batch or
-                           per_dev * n_dev)
+                           per_dev * n_dev,
+                           max_pending=args.max_pending)
 
     # warm up: compile the query-embed and top-k programs before
     # accepting traffic (a cache-hit gallery load compiles nothing).
@@ -419,7 +504,8 @@ def main():
                   'k2': args.rerank_k2, 'lam': args.rerank_lambda}
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(state_obj, args.approx_recall, rerank_cfg))
+        make_handler(state_obj, args.approx_recall, rerank_cfg,
+                     max_body_bytes=args.max_body_mb * 1024 * 1024))
     host, port = httpd.server_address[:2]
     logger.info('serving on http://%s:%d', host, port)
     print('serving on http://{}:{}'.format(host, port), flush=True)
