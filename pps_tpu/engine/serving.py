@@ -36,6 +36,26 @@ def _euclidean(a, b):
     return compute_dist(a, b, 'euclidean')
 
 
+def _rerank_small(qg, qq, gg, k1, k2, lam, engine='auto'):
+    """k-reciprocal re-ranking of a small candidate set.
+
+    engine='auto' prefers the C++/OpenMP `native.rerank_native` (same
+    algorithm, ~1e-5 accumulation-order diffs vs numpy, microseconds at
+    shortlist scale where the numpy row loop costs ~15 ms on one core);
+    'numpy' forces the golden `re_ranking` (tests pin exactness there).
+    """
+    if engine == 'auto':
+        try:
+            from pps_tpu import native
+            if native.available():
+                return native.rerank_native(qg, qq, gg, k1=k1, k2=k2,
+                                            lambda_value=lam)
+        except Exception:  # noqa: BLE001 - any native issue -> numpy
+            logger.exception('native rerank failed; using numpy')
+    from pps_tpu.evaluation.rerank import re_ranking
+    return re_ranking(qg, qq, gg, k1=k1, k2=k2, lambda_value=lam)
+
+
 def list_gallery_images(gallery_dir):
     """Sorted jpg/png paths under ``gallery_dir`` (the serving contract:
     deterministic order so cached features stay aligned)."""
@@ -292,7 +312,8 @@ class RetrievalIndex:
         return rows
 
     def search_reranked(self, q_feats, k, shortlist=100, k1=20, k2=6,
-                        lambda_value=0.3, recall_target=None, chunk=4096):
+                        lambda_value=0.3, recall_target=None, chunk=4096,
+                        engine='auto'):
         """Two-stage retrieval: device top-``shortlist``, then k-reciprocal
         re-ranking (Zhong et al., the reference evaluator's method —
         reference detectron/datasets/reid_dataset_evaluator.py:442-519) of
@@ -305,16 +326,18 @@ class RetrievalIndex:
         (one HTTP request must not change another's ranking), on the host:
         at S~100 the candidate set is ~40 KB and numpy finishes in
         microseconds — device dispatch latency would dominate, so the
-        golden `evaluation.rerank.re_ranking` is the right engine here
-        (the device `rerank_distmat_jax` exists for Market-scale offline
-        eval where the set does not fit the host comfortably).
+        golden `evaluation.rerank.re_ranking` math is the right engine
+        here (the device `rerank_distmat_jax` exists for Market-scale
+        offline eval where the set does not fit the host comfortably);
+        ``engine='auto'`` runs it through the C++/OpenMP native port
+        when built (microseconds vs ~15 ms/query for the numpy row loop
+        on one core), 'numpy' forces the golden implementation.
 
         With ``shortlist >= len(index)`` the result is exactly the global
         single-query re-ranking (tested).  Returns (dists [Nq, k'],
         indices [Nq, k']) like ``search``; distances are the blended
         jaccard/original values (smaller = better), NOT euclidean.
         """
-        from pps_tpu.evaluation.rerank import re_ranking
         q = np.asarray(q_feats, np.float32)
         if q.ndim == 1:
             q = q[None]
@@ -334,8 +357,8 @@ class RetrievalIndex:
             qq = np.zeros((1, 1), np.float32)
             c_k1 = min(int(k1), cand.size)
             c_k2 = max(1, min(int(k2), c_k1))
-            rr = re_ranking(qg, qq, gg, k1=c_k1, k2=c_k2,
-                            lambda_value=float(lambda_value))[0]
+            rr = _rerank_small(qg, qq, gg, c_k1, c_k2,
+                               float(lambda_value), engine=engine)[0]
             order = np.argsort(rr, kind='stable')[:kk]
             out_d[qi, :order.size] = rr[order]
             out_i[qi, :order.size] = cand[order]

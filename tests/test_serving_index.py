@@ -143,7 +143,8 @@ def test_search_reranked_full_shortlist_is_global_rerank():
     from pps_tpu.evaluation.rerank import re_ranking
     q, g = _data(ng=60, nq=1, seed=7)
     idx = RetrievalIndex(g, list(range(len(g))), int8=False)
-    d, i = idx.search_reranked(q, k=60, shortlist=60, k1=20, k2=6)
+    d, i = idx.search_reranked(q, k=60, shortlist=60, k1=20, k2=6,
+                               engine='numpy')
     qg = compute_dist(q, g, 'euclidean')
     qq = compute_dist(q, q, 'euclidean')
     gg = compute_dist(g, g, 'euclidean')
@@ -159,7 +160,8 @@ def test_search_reranked_int8_uses_dequantized_rows():
     from pps_tpu.engine.serving import _euclidean
     q, g = _data(ng=40, nq=1, seed=8)
     idx = RetrievalIndex(g, list(range(len(g))), int8=True)
-    d, i = idx.search_reranked(q, k=40, shortlist=40, k1=15, k2=4)
+    d, i = idx.search_reranked(q, k=40, shortlist=40, k1=15, k2=4,
+                               engine='numpy')
     rows = idx._rows_f32(np.arange(len(g)))
     golden = re_ranking(_euclidean(q, rows), np.zeros((1, 1), np.float32),
                         _euclidean(rows, rows), k1=15, k2=4)[0]
@@ -190,3 +192,19 @@ def test_search_reranked_k_larger_than_shortlist():
     d, i = idx.search_reranked(q, k=30, shortlist=10)
     assert i.shape == (2, 30)
     assert (i >= 0).all()
+
+
+def test_search_reranked_native_engine_matches_numpy():
+    from pps_tpu import native
+    if not native.available():
+        pytest.skip('native rerank lib not built')
+    q, g = _data(ng=80, nq=2, seed=11)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    d_n, i_n = idx.search_reranked(q, k=10, shortlist=40, engine='numpy')
+    d_c, i_c = idx.search_reranked(q, k=10, shortlist=40, engine='auto')
+    # same algorithm in C++; tiny accumulation-order diffs only
+    np.testing.assert_allclose(d_c, d_n, rtol=1e-4, atol=1e-5)
+    # rankings may only differ where blended values are near-ties
+    mismatch = i_c != i_n
+    if mismatch.any():
+        np.testing.assert_allclose(d_c[mismatch], d_n[mismatch], atol=1e-4)

@@ -123,8 +123,9 @@ def main():
         # candidate rows from the host mirror, two small euclidean
         # matrices, then the golden k-reciprocal math on a (k+1)-set.
         # Timed standalone — it overlaps nothing on the device.
+        from pps_tpu import native
+        from pps_tpu.engine.serving import _rerank_small
         from pps_tpu.evaluation.metrics import compute_dist
-        from pps_tpu.evaluation.rerank import re_ranking
         qv = rng.randn(1, d).astype(np.float32)
         qv /= np.linalg.norm(qv)
         cand = rng.choice(ng, size=args.topk, replace=False)
@@ -137,7 +138,8 @@ def main():
                 rows *= host_s[cand][:, None]
             qg = compute_dist(qv, rows, 'euclidean')
             gg = compute_dist(rows, rows, 'euclidean')
-            rr = re_ranking(qg, np.zeros((1, 1), np.float32), gg)[0]
+            rr = _rerank_small(qg, np.zeros((1, 1), np.float32), gg,
+                               20, 6, 0.3)[0]
             return np.argsort(rr, kind='stable')
 
         host_stage()  # warm numpy
@@ -147,6 +149,8 @@ def main():
             host_stage()
         host_ms = (time.perf_counter() - t0) / reps * 1e3
         out['rerank_host_ms'] = round(host_ms, 2)
+        out['rerank_engine'] = ('native' if native.available()
+                                else 'numpy')
         out['reranked_total_ms'] = round(lat * 1e3 + host_ms, 2)
 
     print(json.dumps(out))
