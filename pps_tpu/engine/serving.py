@@ -364,6 +364,33 @@ class RetrievalIndex:
             out_i[qi, :order.size] = cand[order]
         return out_d, out_i
 
+    def remove(self, paths):
+        """Drop every row whose path is in ``paths``; returns the number
+        of rows removed.  Removal re-places the gallery from the host
+        mirror (O(gallery) — rows must stay contiguous for the streaming
+        scan), so batch removals like adds.  Refuses to empty the index
+        entirely (an empty gallery has no searchable program; tear the
+        server down instead).
+        """
+        drop = set(paths)
+        with self._lock:
+            keep = np.fromiter((p not in drop for p in self.paths),
+                               bool, count=len(self.paths))
+            removed = int((~keep).sum())
+            if removed == 0:
+                return 0
+            if keep.sum() == 0:
+                raise ValueError('remove would empty the gallery '
+                                 '({} rows)'.format(removed))
+            self._host_g = np.ascontiguousarray(self._host_g[keep])
+            if self._host_s is not None:
+                self._host_s = np.ascontiguousarray(self._host_s[keep])
+            self.paths = [p for p, k in zip(self.paths, keep) if k]
+            self._place()
+        logger.info('removed %d rows; gallery now %d', removed,
+                    len(self.paths))
+        return removed
+
     def save(self, path):
         """Persist the index to one ``.npz`` — the STORED (possibly int8)
         rows, not the f32 features, so a 1M x 3968-d int8 index is ~4 GB

@@ -268,6 +268,24 @@ def test_serve_daemon_e2e(tmp_path):
                      'pps_serve_search_latency_ms_p50'):
             assert name in text, text
         assert 'pps_serve_gallery_size %d' % (n_gallery + 2) in text
+
+        # /remove drops ALL rows for a path (the newcomer rode two
+        # /adds) and searches stop returning it
+        r = _req(base + '/remove',
+                 data=json.dumps({'paths': [new_img]}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r == {'removed': 2, 'gallery_size': n_gallery}
+        r = _req(base + '/search_path',
+                 data=json.dumps({'path': new_img, 'k': 1}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['results'][0][0]['path'] != new_img
+        # re-add once so the restart block below sees it persisted
+        r = _req(base + '/add',
+                 data=json.dumps({'paths': [new_img]}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['gallery_size'] == n_gallery + 1
+        s = _req(base + '/stats')
+        assert s['removes'] == 1 and s['adds'] == 3
     finally:
         server.terminate()
         try:
@@ -300,8 +318,8 @@ def test_serve_daemon_e2e(tmp_path):
         base = 'http://{}:{}'.format(host, port)
 
         h = _req(base + '/healthz')
-        # both /add'ed rows persisted via the graceful-shutdown save
-        assert h['gallery_size'] == n_gallery + 2
+        # the post-remove re-add persisted via the graceful-shutdown save
+        assert h['gallery_size'] == n_gallery + 1
         assert h['int8'] is True  # precision travels with the file
 
         with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:

@@ -208,3 +208,31 @@ def test_search_reranked_native_engine_matches_numpy():
     mismatch = i_c != i_n
     if mismatch.any():
         np.testing.assert_allclose(d_c[mismatch], d_n[mismatch], atol=1e-4)
+
+
+@pytest.mark.parametrize('int8', [False, True])
+def test_remove_rows(tmp_path, int8):
+    q, g = _data(ng=50, seed=12)
+    idx = RetrievalIndex(g, ['p%d' % i for i in range(50)], int8=int8)
+    # removing unknown paths is a no-op
+    assert idx.remove(['nope']) == 0 and len(idx) == 50
+    # removal excludes the rows from search and keeps index->path right
+    probes = g[[3, 7]] + 1e-4
+    d0, i0 = idx.search(probes, k=1)
+    assert [idx.paths[int(i)] for i in i0[:, 0]] == ['p3', 'p7']
+    assert idx.remove(['p3', 'p7']) == 2
+    assert len(idx) == 48 and 'p3' not in idx.paths
+    d1, i1 = idx.search(probes, k=48)
+    found = {idx.paths[int(i)] for i in i1.ravel() if int(i) >= 0}
+    assert 'p3' not in found and 'p7' not in found
+    # removal survives persistence
+    f = str(tmp_path / 'idx.npz')
+    idx.save(f)
+    loaded = RetrievalIndex.load(f)
+    assert len(loaded) == 48 and loaded.paths == idx.paths
+    # duplicate paths: remove drops ALL matching rows
+    loaded.add(np.stack([g[0], g[0]]), ['dup', 'dup'])
+    assert loaded.remove(['dup']) == 2
+    # emptying the index is refused
+    with pytest.raises(ValueError):
+        loaded.remove(loaded.paths)

@@ -48,6 +48,7 @@ Endpoints (all JSON unless noted):
                      multi-query protocol: pool features, no renorm)
                      -> a single ranked list
   POST /add          {"paths": [...]} -> embed + append to the gallery
+  POST /remove       {"paths": [...]} -> drop those gallery rows
 
 Measured single-query end-to-end device latency on one v5e chip:
 29.7 ms at 1M x 3968-d int8 (tools/bench_serving.py, BASELINE.md).
@@ -95,8 +96,9 @@ class ServerState(object):
         self.n_errors = 0
         self.latencies_ms = []            # last 1024 SEARCH latencies only
         self.n_adds = 0
+        self.n_removes = 0
 
-    def record(self, ms, error=False, search=True):
+    def record(self, ms, error=False, kind='search'):
         """Count a request; only non-error *search* latencies feed the
         /stats percentiles (an /add takes seconds in the embed pipeline
         and would poison the search-latency monitoring signal)."""
@@ -104,12 +106,14 @@ class ServerState(object):
             self.n_requests += 1
             if error:
                 self.n_errors += 1
-            elif search:
+            elif kind == 'search':
                 self.latencies_ms.append(ms)
                 if len(self.latencies_ms) > 1024:
                     self.latencies_ms = self.latencies_ms[-1024:]
-            else:
+            elif kind == 'add':
                 self.n_adds += 1
+            else:
+                self.n_removes += 1
 
     def metrics_text(self):
         """Prometheus text exposition of the same counters /stats
@@ -127,6 +131,8 @@ class ServerState(object):
         emit('requests_total', 'counter', s['requests'], 'HTTP requests')
         emit('errors_total', 'counter', s['errors'], 'failed requests')
         emit('adds_total', 'counter', s['adds'], 'gallery /add requests')
+        emit('removes_total', 'counter', s['removes'],
+             'gallery /remove requests')
         emit('gallery_size', 'gauge', s['gallery_size'], 'index rows')
         e = s['embed']
         emit('embed_dispatches_total', 'counter', e['dispatches'],
@@ -149,7 +155,8 @@ class ServerState(object):
         with self.stats_lock:
             lat = np.asarray(self.latencies_ms, np.float64)
             out = {'requests': self.n_requests, 'errors': self.n_errors,
-                   'adds': self.n_adds, 'gallery_size': len(self.index)}
+                   'adds': self.n_adds, 'removes': self.n_removes,
+                   'gallery_size': len(self.index)}
             nd, ni = self.batcher.dispatches, self.batcher.images
             out['embed'] = {'dispatches': nd, 'images': ni,
                             'avg_batch': round(ni / nd, 2) if nd else None,
@@ -346,8 +353,20 @@ def make_handler(state, recall_target, rerank_cfg=None,
                     feats = state.batcher.embed(paths)
                     state.index.add(feats, paths)
                     state.record((time.perf_counter() - t0) * 1e3,
-                                 search=False)
+                                 kind='add')
                     self._json(200, {'added': len(paths),
+                                     'gallery_size': len(state.index)})
+                elif url.path == '/remove':
+                    req = json.loads(raw or '{}')
+                    paths = req.get('paths')
+                    if not isinstance(paths, list) or not paths or not all(
+                            isinstance(p, str) for p in paths):
+                        raise ValueError('need "paths": [non-empty list '
+                                         'of strings]')
+                    n = state.index.remove(paths)
+                    state.record((time.perf_counter() - t0) * 1e3,
+                                 kind='remove')
+                    self._json(200, {'removed': n,
                                      'gallery_size': len(state.index)})
                 else:
                     self._json(404,
