@@ -29,11 +29,15 @@ bf16/f32 for embedding fidelity.  Training is untouched.
 
 GroupNorm bodies (MODEL.USE_GN) quantize too — GN is input-dependent so
 nothing folds; the quantized conv carries fb=0 and GN runs on the
-dequantized output — but carry more noise: GN-normalized activations
-have amax/mean ≈ 20, so per-tensor int8 rounding is ~3% relative error
-per layer vs ~0.1% for BN-folded bodies (measured in
-tests/test_quantize.py).  BN bodies (the flagship default) are the
-intended serving target.
+dequantized output.  Their activations have a wide CROSS-channel range
+(per-channel gammas), so they use per-INPUT-channel activation scales
+folded exactly into the weights before quantization
+(w''[..., c, o] = w[..., c, o] * s_c, activations quantize as
+round(x_c / s_c) — a broadcast multiply, same VPU cost as the scalar):
+measured on the tiny GN model, per-tensor scales cost 7% embedding
+cosine where per-channel is exact to 1e-5 (tests/test_quantize.py).
+BN-folded bodies keep the single per-tensor input scale (the fold
+already equalizes channels; ~0.1%/layer measured).
 """
 
 import jax
@@ -77,7 +81,8 @@ def calibrate_amax(folded_params, state, spec, image_batches):
         rec = jax.device_get(capture(folded_params, state, jnp.asarray(x)))
         for k, v in rec.items():
             name = k[len('__amax__'):]
-            amax[name] = max(amax.get(name, 0.0), float(v))
+            v = np.asarray(v, np.float32)  # per-input-channel vector
+            amax[name] = np.maximum(amax.get(name, 0.0), v)
     return amax
 
 
@@ -106,12 +111,38 @@ def quantize_body(folded_params, amax, use_gn=False):
                 'no calibration record for body conv {!r}; run '
                 'calibrate_amax over at least one batch first'.format(base))
         w = np.asarray(folded_params[name], np.float32)
-        s_x = max(amax[base], 1e-12) / 127.0
-        s_w = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
-        wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+        amax_c = np.atleast_1d(np.asarray(amax[base], np.float32))
+        if use_gn:
+            # Per-INPUT-channel activation scales: GN-normalized
+            # activations have a wide CROSS-channel range (the per-
+            # channel gammas), so one per-tensor scale wastes most of
+            # the int8 grid on the widest channel.  x_c = s_c * q_c
+            # folds exactly into the weights BEFORE quantization
+            # (w''[..., c, o] = w[..., c, o] * s_c), leaving the usual
+            # per-output-channel dequant: y_o = s_w''[o] * s32_o.
+            s_c = np.maximum(amax_c, 1e-12) / 127.0
+            cin, i_w = s_c.size, w.shape[2]
+            g = cin // i_w  # grouped conv (ResNeXt): block-diag absorb
+            opg = w.shape[3] // g
+            # factor[i, o] = s_c[(o // opg) * i_w + i]
+            factor = np.repeat(s_c.reshape(g, i_w).T, opg, axis=1)
+            w = w * factor[None, None]
+            s_w = np.maximum(
+                np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+            q[base + '_xinv'] = jnp.asarray(
+                (1.0 / s_c).astype(np.float32))
+            q[base + '_osc'] = jnp.asarray(s_w.astype(np.float32))
+        else:
+            # BN-folded body: one static input scale (the fold already
+            # equalizes channels well; measured ~0.1%/layer error)
+            s_x = max(float(amax_c.max()), 1e-12) / 127.0
+            s_w = np.maximum(
+                np.max(np.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+            q[base + '_xinv'] = jnp.float32(1.0 / s_x)
+            q[base + '_osc'] = jnp.asarray((s_w * s_x).astype(np.float32))
         q[base + '_wq'] = jnp.asarray(wq)
-        q[base + '_xinv'] = jnp.float32(1.0 / s_x)
-        q[base + '_osc'] = jnp.asarray((s_w * s_x).astype(np.float32))
         if (base + '_fb') not in q:  # GN body: bias-free quantized conv
             q[base + '_fb'] = jnp.zeros((w.shape[-1],), jnp.float32)
         del q[name]
@@ -136,13 +167,5 @@ def quantize_for_eval(model, params, state, calib_images, batch_size=64):
     if len(batches) > 1 and len(batches[-1]) != batch_size:
         batches[-1] = calib_images[-batch_size:]
     use_gn = bool(model.resnet_spec.get('use_gn'))
-    if use_gn:
-        import logging
-        logging.getLogger(__name__).warning(
-            'int8 PTQ on a GroupNorm body: normalized activations have a '
-            'wide amax/mean ratio, so per-tensor activation quantization '
-            'carries ~3% per-layer relative error (vs ~0.1% for '
-            'BN-folded bodies); validate retrieval quality before '
-            'serving')
     amax = calibrate_amax(folded, state, model.resnet_spec, batches)
     return quantize_body(folded, amax, use_gn=use_gn)

@@ -208,10 +208,12 @@ def conv2d_int8(x, wq, xinv, osc, fb, stride=1, dilation=1, groups=1,
     (models/quantize.py): s8 x s8 -> s32 on the MXU (2x bf16 peak on
     v5e-class chips), then a fused dequant epilogue.
 
-    x is bf16/f32; xinv = 1/input_scale (scalar), wq int8 HWIO with
-    per-output-channel scales folded into osc = in_scale * w_scale[c],
-    fb = the BN-folded bias (models/folding.py).  Same SAME_LOWER pad
-    convention as conv2d.
+    x is bf16/f32; xinv = 1/input_scale — a scalar (BN-folded bodies)
+    or a [C_in] vector (GN bodies: per-input-channel scales, already
+    absorbed into the weights by models/quantize.py, so osc stays
+    per-output-channel).  wq int8 HWIO with per-output-channel scales
+    in osc, fb = the BN-folded bias (models/folding.py).  Same
+    SAME_LOWER pad convention as conv2d.
     """
     kh, kw = wq.shape[0], wq.shape[1]
     ph = ((kh - 1) * dilation) // 2
@@ -274,9 +276,12 @@ def _conv_bn(x, params, state, updates, name, train, stride=1, dilation=1,
     if not train:
         if spec is not None and spec.get('calibrate'):
             # int8 PTQ calibration capture (models/quantize.py): record
-            # the absmax of this conv's input through the updates thread
+            # the PER-CHANNEL absmax of this conv's input through the
+            # updates thread (quantize_body reduces it to one scalar for
+            # BN-folded bodies; GN bodies keep the vector to fold
+            # per-channel activation scales into the weights)
             updates['__amax__' + name] = jnp.max(
-                jnp.abs(x.astype(jnp.float32)))
+                jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
         if (name + '_wq') in params:
             if spec is not None and spec.get('use_gn'):
                 # GN body: GN is input-dependent (not foldable), so the
@@ -371,7 +376,8 @@ def apply_resnet(params, state, x, spec, train=False,
         spec.get('dtype', 'float32')]
     updates = {}
     if not train and spec.get('calibrate'):
-        updates['__amax__conv1'] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        updates['__amax__conv1'] = jnp.max(
+            jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
     if not train and 'conv1_wq' in params:
         cur = conv2d_int8(x, params['conv1_wq'], params['conv1_xinv'],
                           params['conv1_osc'], params['conv1_fb'],

@@ -145,11 +145,11 @@ def test_quantize_gn_body():
                                             jnp.asarray(images)))
     cos = np.sum(out * base, axis=1) / (
         np.linalg.norm(out, axis=1) * np.linalg.norm(base, axis=1))
-    # GN bodies carry more PTQ noise than BN-folded ones: normalized
-    # activations have amax/mean ~20, so per-tensor int8 rounding is
-    # ~3% relative error per layer (models/quantize.py docstring);
-    # random-init nets are the pessimistic case for the bound
-    assert cos.min() > 0.90, cos
+    # GN bodies quantize with PER-INPUT-CHANNEL activation scales
+    # folded into the weights (the cross-channel gamma spread is what
+    # made one per-tensor scale lose ~3%/layer; measured here:
+    # per-tensor min cosine 0.929 -> per-channel 1.00000)
+    assert cos.min() > 0.999, cos
 
 
 def test_quantize_affine_channel_body():
@@ -231,3 +231,28 @@ def test_int8_extract_through_mesh():
     ref = np.asarray(model.extract_features(qparams, state,
                                             jnp.asarray(images)))
     np.testing.assert_allclose(out[:4], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_quantize_gn_resnext_grouped_absorb():
+    """ResNeXt + GN: per-input-channel activation scales absorb into
+    GROUPED conv weights block-diagonally (w[..., i, o] sees input
+    channel (o // out_per_group) * i_w + i) — the fidelity bound proves
+    the factor indexing is right."""
+    model, params, state, images = _tiny_model(extra=[
+        'MODEL.USE_GN', 'True', 'MODEL.USE_BN', 'False',
+        'GROUP_NORM.NUM_GROUPS', '4',
+        'RESNETS.NUM_GROUPS', '4', 'RESNETS.WIDTH_PER_GROUP', '4'])
+    base = np.asarray(model.extract_features(params, state,
+                                             jnp.asarray(images)))
+    qparams = quantize_for_eval(model, params, state, images,
+                                batch_size=4)
+    # a grouped 3x3: input-channel axis is C_in / groups wide, while
+    # xinv carries the full C_in scales
+    w3 = qparams['res3_0_branch2b_wq']
+    xinv3 = qparams['res3_0_branch2b_xinv']
+    assert w3.shape[2] * 4 == int(np.asarray(xinv3).size)
+    out = np.asarray(model.extract_features(qparams, state,
+                                            jnp.asarray(images)))
+    cos = np.sum(out * base, axis=1) / (
+        np.linalg.norm(out, axis=1) * np.linalg.norm(base, axis=1))
+    assert cos.min() > 0.999, cos
