@@ -84,32 +84,72 @@ def embed_paths(cfg, model, params, state, paths, mesh):
 
 
 def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
-                         weights_path=None, refresh=False):
+                         weights_path=None, refresh=False, chunk=8192):
     """(features [N, D] f32, paths) for a gallery directory, cached to
     ``<gallery_dir>/gallery_features.npz``.
 
     The cache is keyed on the exact path list AND the weights file
     (path, size, mtime) — either changing forces a re-embed.
+
+    Galleries larger than ``chunk`` embed in resumable chunks: each
+    chunk lands in ``.gallery_partial_<key>/`` as it finishes (atomic
+    rename), so a crash or restart mid-way through a million-image
+    build re-embeds only the missing tail instead of starting over.
+    The partial dir is keyed on (paths, weights) like the final cache
+    and deleted once the single-file cache is written.
     """
+    import hashlib
+    import shutil
     paths = list_gallery_images(gallery_dir)
     assert paths, 'no images in {}'.format(gallery_dir)
     cache = os.path.join(gallery_dir, GALLERY_CACHE_NAME)
     wkey = weights_cache_key(weights_path)
-    feats = None
     if os.path.exists(cache) and not refresh:
         data = np.load(cache, allow_pickle=True)
         cached_paths = list(data['paths'])
         cached_wkey = str(data['wkey']) if 'wkey' in data else ''
         if cached_paths == paths and cached_wkey == wkey:
-            feats = data['features']
-        else:
-            logger.info('gallery or weights changed; re-embedding')
-    if feats is None:
-        feats = embed_paths(cfg, model, params, state, paths, mesh)
-        np.savez(cache, features=feats, paths=np.array(paths),
-                 wkey=np.array(wkey))
-        logger.info('cached %d gallery embeddings to %s', len(paths), cache)
-    return np.asarray(feats, np.float32), paths
+            return np.asarray(data['features'], np.float32), paths
+        logger.info('gallery or weights changed; re-embedding')
+
+    if len(paths) <= chunk:
+        feats = np.asarray(
+            embed_paths(cfg, model, params, state, paths, mesh),
+            np.float32)
+    else:
+        key = hashlib.md5(
+            ('\n'.join(paths) + '|' + wkey).encode()).hexdigest()[:12]
+        part_dir = os.path.join(gallery_dir, '.gallery_partial_' + key)
+        os.makedirs(part_dir, exist_ok=True)
+        parts, resumed = [], 0
+        for start in range(0, len(paths), chunk):
+            sub = paths[start:start + chunk]
+            pf = os.path.join(part_dir, '%09d.npy' % start)
+            if os.path.exists(pf) and not refresh:
+                arr = np.load(pf)
+                if arr.ndim == 2 and arr.shape[0] == len(sub):
+                    parts.append(np.asarray(arr, np.float32))
+                    resumed += len(sub)
+                    continue
+            arr = np.asarray(
+                embed_paths(cfg, model, params, state, sub, mesh),
+                np.float32)
+            tmp = pf + '.tmp.npy'
+            np.save(tmp, arr)  # np.save appends .npy only to bare names
+            os.replace(tmp, pf)
+            parts.append(arr)
+            logger.info('embedded gallery chunk %d-%d / %d',
+                        start, start + len(sub), len(paths))
+        if resumed:
+            logger.info('resumed %d previously-embedded gallery rows '
+                        'from %s', resumed, part_dir)
+        feats = np.concatenate(parts)
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+    np.savez(cache, features=feats, paths=np.array(paths),
+             wkey=np.array(wkey))
+    logger.info('cached %d gallery embeddings to %s', len(paths), cache)
+    return feats, paths
 
 
 class Overloaded(RuntimeError):

@@ -99,3 +99,50 @@ def test_cache_hit_and_invalidation(tiny, monkeypatch):
     serving.embed_gallery_cached(cfg, model, params, state, gdir, mesh,
                                  weights_path=weights, refresh=True)
     assert calls['n'] == 4
+
+
+def test_chunked_embed_resumes_after_crash(tiny, monkeypatch):
+    """Galleries above the chunk size embed resumably: a crash mid-build
+    keeps the finished chunks on disk, and the retry embeds only the
+    missing ones (bit-identical result to an unchunked embed)."""
+    model, params, state, mesh, gdir, weights = tiny
+    real = serving.embed_paths
+    calls = {'n': 0}
+
+    def crashing(*a, **kw):
+        calls['n'] += 1
+        if calls['n'] == 2:
+            raise RuntimeError('boom mid-gallery')
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, 'embed_paths', crashing)
+    with pytest.raises(RuntimeError):
+        serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                     mesh, weights_path=weights, chunk=1)
+    # chunk 0 survived the crash; no final cache yet
+    assert not os.path.exists(os.path.join(gdir,
+                                           serving.GALLERY_CACHE_NAME))
+    parts = [d for d in os.listdir(gdir)
+             if d.startswith('.gallery_partial_')]
+    assert len(parts) == 1
+    assert len(os.listdir(os.path.join(gdir, parts[0]))) == 1
+
+    # retry: only the two missing chunks embed (the finished one loads)
+    calls2 = {'n': 0}
+
+    def counting(*a, **kw):
+        calls2['n'] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, 'embed_paths', counting)
+    f1, p1 = serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                          mesh, weights_path=weights,
+                                          chunk=1)
+    assert calls2['n'] == 2 and f1.shape[0] == 3
+    # partial dir cleaned up after the final cache lands
+    assert not [d for d in os.listdir(gdir)
+                if d.startswith('.gallery_partial_')]
+    assert os.path.exists(os.path.join(gdir, serving.GALLERY_CACHE_NAME))
+    # chunked result bitwise equals one unchunked embed of the same list
+    f2 = np.asarray(real(cfg, model, params, state, p1, mesh), np.float32)
+    np.testing.assert_array_equal(f1, f2)
