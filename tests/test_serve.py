@@ -304,7 +304,7 @@ def test_serve_daemon_e2e(tmp_path):
         [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
          '--cfg', cfg_file, '--weights', ckpt, '--port', '0',
          '--topk', '3', '--ready-file', ready2,
-         '--load-index', idx_file],
+         '--load-index', idx_file, '--shard-gallery'],
         stdout=log2, stderr=log2, cwd=ROOT, env=env)
     try:
         deadline = time.time() + 480
@@ -321,6 +321,8 @@ def test_serve_daemon_e2e(tmp_path):
         # the post-remove re-add persisted via the graceful-shutdown save
         assert h['gallery_size'] == n_gallery + 1
         assert h['int8'] is True  # precision travels with the file
+        # daemon 2 row-shards the loaded index over the 8-device mesh
+        assert h['sharded'] is True
 
         with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:
             raw = f.read()
