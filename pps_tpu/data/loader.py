@@ -144,11 +144,19 @@ class ReIDLoader(object):
             finally:
                 self._sem.release()
 
-    def iter_epoch(self, ep):
+    def iter_epoch(self, ep, start_step=0):
         """Yield (step_in_epoch, loss_scale, device_batch) for epoch ep.
         Batches are produced by the worker pool but yielded strictly in
-        plan order."""
+        plan order.
+
+        start_step > 0 resumes mid-epoch (the preemption path): the FULL
+        epoch is still planned — consuming sampler state exactly like a
+        continuous run — and the already-trained prefix is skipped before
+        any decode work, so batch composition from start_step on is
+        bitwise identical to the uninterrupted stream."""
         plan = self.plan_epoch(ep)
+        if start_step:
+            plan = plan[start_step:]
         if not plan:
             return
         self._cur_ep = ep

@@ -313,20 +313,29 @@ def wait_for_orbax():
 
 
 _EPOCH_RE = re.compile(r'^model_epoch(\d+)\.(pkl|orbax)$')
+_PREEMPT_RE = re.compile(r'^model_preempt_epoch(\d+)_step(\d+)\.(pkl|orbax)$')
 
 
 def find_resume_checkpoint(output_dir):
     """Auto-resume scan (reference utils/train.py:146-185): returns
-    (path, epoch) of the newest ``model_epoch{N}.pkl`` (or ``.orbax``
-    directory); ``model_final.pkl`` wins with epoch = -1 meaning training
-    is complete."""
+    (path, epoch, step) of the furthest resume point.  ``model_epoch{N}``
+    resumes at (N, 0); a mid-epoch ``model_preempt_epoch{E}_step{S}``
+    (written by the SIGTERM preemption path after S steps of epoch E)
+    resumes at (E, S) — the (epoch, step) tuple order IS the resume-
+    position order.  ``model_final.pkl`` wins with epoch = -1 meaning
+    training is complete."""
     final = os.path.join(output_dir, 'model_final.pkl')
     if os.path.exists(final):
-        return final, -1
-    best = (None, 0)
+        return final, -1, 0
+    best = (None, 0, 0)
     if os.path.isdir(output_dir):
         for f in os.listdir(output_dir):
             m = _EPOCH_RE.match(f)
-            if m and int(m.group(1)) > best[1]:
-                best = (os.path.join(output_dir, f), int(m.group(1)))
+            key = (int(m.group(1)), 0) if m else None
+            if key is None:
+                m = _PREEMPT_RE.match(f)
+                if m:
+                    key = (int(m.group(1)), int(m.group(2)))
+            if key is not None and key > best[1:]:
+                best = (os.path.join(output_dir, f),) + key
     return best

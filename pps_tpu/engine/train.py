@@ -10,7 +10,9 @@ logging.
 
 import logging
 import os
+import signal
 import sys
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +30,43 @@ from pps_tpu.solver import optimizer as opt_lib
 
 logger = logging.getLogger(__name__)
 
+# Preemption: TPU-VM maintenance events and preemptible/spot capacity
+# deliver SIGTERM with a grace window.  The handler only sets this flag;
+# the training loop checkpoints after the in-flight step and raises
+# `Preempted`, so a restarted job auto-resumes MID-epoch losing at most
+# one step (the plan-based sampler + fold_in(base, global_step) PRNG make
+# the resumed stream bitwise-identical to an uninterrupted run).  The
+# reference had no preemption story — its loader cursor (set_start_iter,
+# reference roi_data/loader.py:124) could seek, but nothing saved outside
+# epoch boundaries.
+_PREEMPT = threading.Event()
+
+
+def request_preemption(signum=None, frame=None):
+    """Ask the running train_model to checkpoint and exit after the
+    in-flight step (safe from signal handlers and other threads)."""
+    _PREEMPT.set()
+
+
+class Preempted(Exception):
+    """Raised by train_model after a preemption checkpoint is durably
+    written.  Carries (epoch, step, path) of the resume point; the CLI
+    maps it to exit code 75 (EX_TEMPFAIL: transient, retry the same
+    command)."""
+
+    def __init__(self, epoch, step, path):
+        super(Preempted, self).__init__(
+            'preempted after {} steps of epoch {}; resume point {}'
+            .format(step, epoch, path))
+        self.epoch = epoch
+        self.step = step
+        self.path = path
+
 
 def create_model(cfg, output_dir):
     """Build model + init/resume state.  Returns
-    (model, params, state, opt_state, start_epoch, resumed_final)."""
+    (model, params, state, opt_state, start_epoch, start_step,
+    resumed_final)."""
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
     opt_state = opt_lib.init_opt_state(
@@ -41,13 +76,14 @@ def create_model(cfg, output_dir):
     final_path = os.path.join(output_dir, 'model_final.pkl')
     if cfg.TRAIN.AUTO_RESUME and os.path.exists(final_path):
         logger.info('model_final.pkl exists; skipping training')
-        return model, params, state, opt_state, -1, True
+        return model, params, state, opt_state, -1, 0, True
 
-    start_epoch = 0
+    start_epoch, start_step = 0, 0
     if cfg.TRAIN.AUTO_RESUME:
-        path, epoch = ckpt_lib.find_resume_checkpoint(output_dir)
+        path, epoch, step = ckpt_lib.find_resume_checkpoint(output_dir)
         if path is not None:
-            logger.info('Auto-resuming from %s (epoch %d)', path, epoch)
+            logger.info('Auto-resuming from %s (epoch %d, step %d)',
+                        path, epoch, step)
             if path.endswith('.orbax'):
                 ts = ckpt_lib.load_checkpoint_orbax(
                     path, {'params': params, 'state': state,
@@ -57,17 +93,23 @@ def create_model(cfg, output_dir):
             else:
                 params, state, opt_state = ckpt_lib.load_checkpoint(
                     path, model, params, state, opt_state=opt_state)
-            start_epoch = epoch
-    if start_epoch == 0 and cfg.TRAIN.WEIGHTS:
+            start_epoch, start_step = epoch, step
+    if start_epoch == 0 and start_step == 0 and cfg.TRAIN.WEIGHTS:
         logger.info('Bootstrapping weights from %s', cfg.TRAIN.WEIGHTS)
         params, state, _ = ckpt_lib.load_checkpoint(
             cfg.TRAIN.WEIGHTS, model, params, state)
-    return model, params, state, opt_state, start_epoch, False
+    return model, params, state, opt_state, start_epoch, start_step, False
 
 
 def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
-                num_workers=None, log_period=None):
+                num_workers=None, log_period=None, preempt_event=None):
     """Run the full training schedule.  Returns {epoch: ckpt_path}.
+
+    While the loop runs (from the main thread), SIGTERM is wired to
+    `request_preemption`: the in-flight step finishes, a mid-epoch
+    resume checkpoint is written synchronously, and `Preempted` is
+    raised.  preempt_event overrides the module-level flag (embedding /
+    tests); auto-resume then continues from the exact step.
 
     output_dir defaults to the reference convention
     <OUTPUT_DIR>/train/<dataset>/ (reference utils/train.py:144 via
@@ -83,8 +125,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     configure_jax_cache()
     checkpoints = {}
 
-    model, params, state, opt_state, start_epoch, done = create_model(
-        cfg, output_dir)
+    model, params, state, opt_state, start_epoch, resume_step, done = \
+        create_model(cfg, output_dir)
     if done:
         checkpoints['final'] = os.path.join(output_dir, 'model_final.pkl')
         return checkpoints
@@ -123,9 +165,27 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     # dropout stream of a continuous run (sequential splitting would
     # restart the stream from the base key at every resume)
     base_rng = jax.random.PRNGKey(cfg.RNG_SEED + 1)
-    cur_lr = None
-    global_step = sched.steps_before_epoch(start_epoch)
+    global_step = sched.steps_before_epoch(start_epoch) + resume_step
     start_step = global_step
+    # deterministic resume of the LR-change detector: recompute the LAST
+    # trained step's LR so a resumed run fires the same momentum
+    # correction a continuous run would at this boundary (LR is a pure
+    # function of (epoch, step), so this costs nothing and avoids
+    # persisting cur_lr in the checkpoint)
+    cur_lr = None
+    if global_step > 0:
+        if resume_step > 0:
+            pe, pi = start_epoch, resume_step - 1
+        else:
+            pe, pi = start_epoch - 1, -1
+            while pe >= 0:
+                pi = sched.epoch_len(pe) - 1
+                if pi >= 0:
+                    break
+                pe -= 1
+        if pe >= 0 and pi >= 0:
+            cur_lr = float(lr_policy.get_lr_at_iter(
+                cfg, sched.lr_iter(pe, pi), pe, sched.ipe))
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS)
 
     # op-level tracing: set PPS_TPU_PROFILE_DIR to capture a jax profiler
@@ -156,10 +216,20 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     from concurrent.futures import ThreadPoolExecutor
     saver = ThreadPoolExecutor(1)  # background checkpoint writer
     saver_fut = None
+    preempt = preempt_event if preempt_event is not None else _PREEMPT
+    preempt.clear()  # a stale flag must not kill the fresh run at step 1
+    old_sig, sig_installed = None, False
+    if threading.current_thread() is threading.main_thread():
+        try:
+            old_sig = signal.signal(signal.SIGTERM, request_preemption)
+            sig_installed = True
+        except (ValueError, OSError):  # no signal support here
+            pass
     try:
       with mesh:
         for ep in range(start_epoch, cfg.SOLVER.MAX_ITER):
-            for i, loss_scale, batch in loader.iter_epoch(ep):
+            ep_start = resume_step if ep == start_epoch else 0
+            for i, loss_scale, batch in loader.iter_epoch(ep, ep_start):
                 if profile_dir and global_step == profile_window[0]:
                     jax.profiler.start_trace(profile_dir)
                 if profile_dir and global_step == profile_window[1]:
@@ -203,6 +273,32 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                 if stats.loss_is_nan():
                     loader._stop.set()
                     raise FloatingPointError('Loss is NaN')
+                if preempt.is_set():
+                    # checkpoint SYNCHRONOUSLY (the grace window is
+                    # short; durability before exit beats overlap) and
+                    # unwind.  train_state is this step's output — not
+                    # yet donated, safe to fetch directly.
+                    if saver_fut is not None:
+                        saver_fut.result()
+                        saver_fut = None
+                    done_steps = i + 1
+                    stem = 'model_preempt_epoch{}_step{}'.format(
+                        ep, done_steps)
+                    if cfg.TPU.CKPT_FORMAT == 'orbax':
+                        ppath = os.path.join(output_dir, stem + '.orbax')
+                        ckpt_lib.save_checkpoint_orbax(ppath, train_state,
+                                                       cfg=cfg)
+                        ckpt_lib.wait_for_orbax()
+                    else:
+                        ppath = os.path.join(output_dir, stem + '.pkl')
+                        ckpt_lib.save_checkpoint(
+                            ppath, model, train_state['params'],
+                            train_state['state'],
+                            opt_state=train_state['opt'], cfg=cfg)
+                    logger.info('preemption requested: wrote %s (epoch '
+                                '%d, %d/%d steps); exiting', ppath, ep,
+                                done_steps, sched.epoch_len(ep))
+                    raise Preempted(ep, done_steps, ppath)
 
             # per-epoch checkpoint (reference train.py:104-112; on
             # alternation epochs the reference `continue`s past the
@@ -245,6 +341,13 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
         # sys.exc_info() reports the caught saver error, not the outer
         # state.
         unwinding = sys.exc_info()[0] is not None
+        if sig_installed:
+            try:
+                signal.signal(signal.SIGTERM,
+                              signal.SIG_DFL if old_sig is None
+                              else old_sig)
+            except (ValueError, OSError):
+                pass
         if saver_fut is not None:
             try:
                 saver_fut.result()

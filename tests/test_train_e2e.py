@@ -274,6 +274,113 @@ def test_resume_bitwise_equals_continuous(tiny_train_cfg, tmp_path):
         np.testing.assert_array_equal(cont[k], split[k], err_msg=k)
 
 
+def test_find_resume_checkpoint_prefers_furthest(tmp_path):
+    """(epoch, step) tuple order: a mid-epoch preempt checkpoint outranks
+    the epoch snapshot it follows and loses to the next epoch snapshot."""
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    d = str(tmp_path)
+    for name in ['model_epoch2.pkl', 'model_preempt_epoch1_step7.pkl',
+                 'model_preempt_epoch2_step5.pkl']:
+        open(os.path.join(d, name), 'wb').close()
+    path, ep, st = ckpt_lib.find_resume_checkpoint(d)
+    assert os.path.basename(path) == 'model_preempt_epoch2_step5.pkl'
+    assert (ep, st) == (2, 5)
+    open(os.path.join(d, 'model_epoch3.pkl'), 'wb').close()
+    path, ep, st = ckpt_lib.find_resume_checkpoint(d)
+    assert os.path.basename(path) == 'model_epoch3.pkl'
+    assert (ep, st) == (3, 0)
+
+
+def test_preempt_midepoch_resume_bitwise(tiny_train_cfg, tmp_path):
+    """Preemption mid-epoch: the loop checkpoints after the in-flight
+    step and raises Preempted; auto-resume continues from the exact step
+    and the final state is bitwise equal to a continuous run (full-epoch
+    planning keeps sampler state identical; per-step PRNG is
+    fold_in(base, global_step))."""
+    from pps_tpu.data.sampler import EpochSchedule
+    from pps_tpu.engine import train as train_lib
+    from pps_tpu.utils.io import load_object
+    c = tiny_train_cfg
+    c.SOLVER.MAX_ITER = 2
+    decode = _class_decoder(N_IDS)
+
+    train_model(c, output_dir=str(tmp_path / 'cont'), decode_fn=decode,
+                num_workers=1)
+    cont = load_object(os.path.join(str(tmp_path / 'cont'),
+                                    'model_final.pkl'))['blobs']
+
+    class AfterSteps(object):
+        """Event-alike whose is_set() reads True from the n-th poll on;
+        the loop polls once per step => deterministic preempt point."""
+        def __init__(self, n):
+            self.calls, self.n = 0, n
+
+        def clear(self):
+            pass
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    out = str(tmp_path / 'pre')
+    with pytest.raises(train_lib.Preempted) as ei:
+        train_model(c, output_dir=out, decode_fn=decode, num_workers=1,
+                    preempt_event=AfterSteps(3))
+    assert ei.value.step == 3
+    assert os.path.basename(ei.value.path) == \
+        'model_preempt_epoch{}_step3.pkl'.format(ei.value.epoch)
+    assert os.path.exists(ei.value.path)
+    # the preemption really fell MID-epoch (the new resume path)
+    roidb, _ = combined_roidb_for_training(c.TRAIN.DATASETS,
+                                           use_flipped=c.TRAIN.USE_FLIPPED)
+    sched = EpochSchedule(c, len(roidb),
+                          len({e['gt_class'] for e in roidb}))
+    assert 0 < ei.value.step < sched.epoch_len(ei.value.epoch)
+
+    train_model(c, output_dir=out, decode_fn=decode, num_workers=1)
+    split = load_object(os.path.join(out, 'model_final.pkl'))['blobs']
+    assert sorted(cont) == sorted(split)
+    for k in cont:
+        np.testing.assert_array_equal(cont[k], split[k], err_msg=k)
+
+
+def test_sigterm_preempts_training(tiny_train_cfg, tmp_path):
+    """The real signal path: SIGTERM mid-run checkpoints and raises
+    Preempted, and the previous handler is restored afterwards."""
+    import signal
+    import threading
+    from pps_tpu.engine import train as train_lib
+    c = tiny_train_cfg
+    c.SOLVER.MAX_ITER = 3
+    decode = _class_decoder(N_IDS)
+    out = str(tmp_path / 'sig')
+
+    def outer(signum, frame):  # safety net; should never fire
+        pass
+    old = signal.signal(signal.SIGTERM, outer)
+    try:
+        # deliver SIGTERM the moment train_model installs its handler
+        # (sending on a fixed timer races model build/compile: a signal
+        # arriving before the install lands in `outer` and is lost)
+        def fire_when_armed():
+            import time
+            while (signal.getsignal(signal.SIGTERM)
+                   is not train_lib.request_preemption):
+                time.sleep(0.02)
+            os.kill(os.getpid(), signal.SIGTERM)
+        w = threading.Thread(target=fire_when_armed, daemon=True)
+        w.start()
+        with pytest.raises(train_lib.Preempted) as ei:
+            train_model(c, output_dir=out, decode_fn=decode,
+                        num_workers=1)
+        w.join(timeout=10)
+        assert os.path.exists(ei.value.path)
+        # train_model restored the handler it displaced
+        assert signal.getsignal(signal.SIGTERM) is outer
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
 def test_freeze_at_params_bit_frozen(tiny_train_cfg, tmp_path):
     """TRAIN.FREEZE_AT=2: params at/below the freeze point are bitwise
     unchanged after training (no weight-decay drift, zero momentum), BN

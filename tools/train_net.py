@@ -43,7 +43,7 @@ def main():
     apply_platform_env()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
-    from pps_tpu.engine.train import train_model
+    from pps_tpu.engine.train import Preempted, train_model
     from pps_tpu.engine.test import run_inference
     from pps_tpu.evaluation.expected_results import check_expected_results
     from pps_tpu.utils.logging import setup_logging
@@ -64,7 +64,15 @@ def main():
     # checkpoints land in <OUTPUT_DIR>/train/<dataset>/ and eval artifacts
     # in <OUTPUT_DIR>/test/<dataset>/ (the get_output_dir convention,
     # reference utils/train.py:144, test_engine.py:108)
-    checkpoints = train_model(cfg)
+    try:
+        checkpoints = train_model(cfg)
+    except Preempted as p:
+        # SIGTERM (TPU-VM maintenance / spot reclaim): the mid-epoch
+        # resume checkpoint is already durably written; rerunning the
+        # same command continues from the exact step.  75 = EX_TEMPFAIL
+        # tells schedulers this is a retry, not a failure or completion.
+        logger.info('%s — rerun the same command to resume', p)
+        sys.exit(75)
 
     if not args.skip_test:
         results = run_inference(cfg, weights_file=checkpoints['final'])
