@@ -344,6 +344,38 @@ def test_preempt_midepoch_resume_bitwise(tiny_train_cfg, tmp_path):
         np.testing.assert_array_equal(cont[k], split[k], err_msg=k)
 
 
+def test_preempt_orbax_format(tiny_train_cfg, tmp_path):
+    """TPU.CKPT_FORMAT=orbax: the preemption checkpoint is a durable
+    orbax directory (written + committed before exit) and auto-resume
+    restores it mid-epoch."""
+    from pps_tpu.engine import train as train_lib
+    c = tiny_train_cfg
+    c.TPU.CKPT_FORMAT = 'orbax'
+    c.SOLVER.MAX_ITER = 2
+    decode = _class_decoder(N_IDS)
+
+    class AfterSteps(object):
+        def __init__(self, n):
+            self.calls, self.n = 0, n
+
+        def clear(self):
+            pass
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    out = str(tmp_path / 'pre_orbax')
+    with pytest.raises(train_lib.Preempted) as ei:
+        train_model(c, output_dir=out, decode_fn=decode, num_workers=1,
+                    preempt_event=AfterSteps(2))
+    assert ei.value.path.endswith('.orbax')
+    assert os.path.isdir(ei.value.path)
+
+    ck = train_model(c, output_dir=out, decode_fn=decode, num_workers=1)
+    assert os.path.exists(ck['final'])
+
+
 def test_sigterm_preempts_training(tiny_train_cfg, tmp_path):
     """The real signal path: SIGTERM mid-run checkpoints and raises
     Preempted, and the previous handler is restored afterwards."""
