@@ -105,13 +105,22 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
     cache = os.path.join(gallery_dir, GALLERY_CACHE_NAME)
     wkey = weights_cache_key(weights_path)
     if os.path.exists(cache) and not refresh:
-        data = np.load(cache, allow_pickle=True)
-        cached_paths = list(data['paths'])
-        cached_wkey = str(data['wkey']) if 'wkey' in data else ''
-        if cached_paths == paths and cached_wkey == wkey:
-            return np.asarray(data['features'], np.float32), paths
-        logger.info('gallery or weights changed; re-embedding')
+        try:
+            data = np.load(cache, allow_pickle=True)
+            cached_paths = list(data['paths'])
+            cached_wkey = str(data['wkey']) if 'wkey' in data else ''
+        except Exception:
+            # a truncated/corrupt cache (crash mid-write predating the
+            # atomic rename, disk trouble) must trigger a re-embed, not
+            # kill the daemon at startup
+            logger.warning('corrupt gallery cache %s; re-embedding',
+                           cache)
+        else:
+            if cached_paths == paths and cached_wkey == wkey:
+                return np.asarray(data['features'], np.float32), paths
+            logger.info('gallery or weights changed; re-embedding')
 
+    part_dir = None
     if len(paths) <= chunk:
         feats = np.asarray(
             embed_paths(cfg, model, params, state, paths, mesh),
@@ -144,10 +153,17 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
             logger.info('resumed %d previously-embedded gallery rows '
                         'from %s', resumed, part_dir)
         feats = np.concatenate(parts)
-        shutil.rmtree(part_dir, ignore_errors=True)
 
-    np.savez(cache, features=feats, paths=np.array(paths),
-             wkey=np.array(wkey))
+    # atomic publish (tmp + rename), and only THEN drop the resume
+    # chunks: a crash anywhere before the rename leaves the old state
+    # fully resumable instead of a corrupt cache with no chunks
+    tmp_cache = cache + '.tmp.npz'
+    with open(tmp_cache, 'wb') as f:
+        np.savez(f, features=feats, paths=np.array(paths),
+                 wkey=np.array(wkey))
+    os.replace(tmp_cache, cache)
+    if part_dir is not None:
+        shutil.rmtree(part_dir, ignore_errors=True)
     logger.info('cached %d gallery embeddings to %s', len(paths), cache)
     return feats, paths
 
@@ -299,7 +315,10 @@ class RetrievalIndex:
         else:
             self._host_g = feats
             self._host_s = None
-        self._lock = threading.Lock()
+        # re-entrant: search_reranked/search(return_paths=True) hold it
+        # across the scan AND the row/path resolution so a concurrent
+        # remove() (which renumbers every row) cannot interleave
+        self._lock = threading.RLock()
         self._place()
 
     def __len__(self):
@@ -322,16 +341,27 @@ class RetrievalIndex:
                        else jax.device_put(self._host_s))
             self._n = len(self.paths)
 
-    def search(self, q_feats, k, recall_target=None, chunk=4096):
+    def _paths_of(self, idxs):
+        """[[path or None per column] per query] — call under _lock."""
+        return [[self.paths[int(j)] if 0 <= int(j) < len(self.paths)
+                 else None for j in row] for row in idxs]
+
+    def search(self, q_feats, k, recall_target=None, chunk=4096,
+               return_paths=False):
         """Returns (dists [Nq, k'], indices [Nq, k']) with
-        k' = min(k, len(index)); indices index into ``self.paths``."""
+        k' = min(k, len(index)); indices index into ``self.paths``.
+
+        return_paths=True additionally returns the matched paths
+        resolved UNDER THE INDEX LOCK — the only race-safe way to map
+        indices to paths when another thread may remove() rows (which
+        renumbers everything after the removed positions)."""
         from pps_tpu.ops.pallas.topk import streaming_topk
         q = np.asarray(q_feats, np.float32)
         if q.ndim == 1:
             q = q[None]
         assert q.shape[1] == self.dim, (q.shape, self.dim)
-        k = max(1, min(int(k), self._n))
         with self._lock:
+            k = max(1, min(int(k), self._n))
             if self.shard:
                 from pps_tpu.parallel.retrieval import sharded_topk
                 d, i = sharded_topk(q, self._g, ng_total=self._n, k=k,
@@ -342,7 +372,10 @@ class RetrievalIndex:
                 d, i = streaming_topk(q, self._g, k=k, chunk=chunk,
                                       recall_target=recall_target,
                                       g_scale=self._s)
-            return np.asarray(d), np.asarray(i)
+            d, i = np.asarray(d), np.asarray(i)
+            if return_paths:
+                return d, i, self._paths_of(i)
+            return d, i
 
     def _rows_f32(self, idx):
         """Dequantized f32 gallery rows for an index array (host side)."""
@@ -353,7 +386,7 @@ class RetrievalIndex:
 
     def search_reranked(self, q_feats, k, shortlist=100, k1=20, k2=6,
                         lambda_value=0.3, recall_target=None, chunk=4096,
-                        engine='auto'):
+                        engine='auto', return_paths=False):
         """Two-stage retrieval: device top-``shortlist``, then k-reciprocal
         re-ranking (Zhong et al., the reference evaluator's method —
         reference detectron/datasets/reid_dataset_evaluator.py:442-519) of
@@ -382,27 +415,35 @@ class RetrievalIndex:
         if q.ndim == 1:
             q = q[None]
         s = max(int(shortlist), int(k))
-        d0, i0 = self.search(q, s, recall_target=recall_target, chunk=chunk)
-        kk = min(int(k), i0.shape[1])
-        out_d = np.full((q.shape[0], kk), np.inf, np.float32)
-        out_i = np.full((q.shape[0], kk), -1, np.int64)
-        for qi in range(q.shape[0]):
-            cand = i0[qi][i0[qi] >= 0]
-            if cand.size == 0:
-                continue
-            rows = self._rows_f32(cand)
-            qrow = q[qi:qi + 1]
-            qg = _euclidean(qrow, rows)
-            gg = _euclidean(rows, rows)
-            qq = np.zeros((1, 1), np.float32)
-            c_k1 = min(int(k1), cand.size)
-            c_k2 = max(1, min(int(k2), c_k1))
-            rr = _rerank_small(qg, qq, gg, c_k1, c_k2,
-                               float(lambda_value), engine=engine)[0]
-            order = np.argsort(rr, kind='stable')[:kk]
-            out_d[qi, :order.size] = rr[order]
-            out_i[qi, :order.size] = cand[order]
-        return out_d, out_i
+        # hold the (re-entrant) lock across shortlist scan + host row
+        # fetch + resolution: a concurrent remove() renumbers rows, so
+        # indices from an unlocked scan would fetch the WRONG gallery
+        # rows (or step past the shrunk array) here
+        with self._lock:
+            d0, i0 = self.search(q, s, recall_target=recall_target,
+                                 chunk=chunk)
+            kk = min(int(k), i0.shape[1])
+            out_d = np.full((q.shape[0], kk), np.inf, np.float32)
+            out_i = np.full((q.shape[0], kk), -1, np.int64)
+            for qi in range(q.shape[0]):
+                cand = i0[qi][i0[qi] >= 0]
+                if cand.size == 0:
+                    continue
+                rows = self._rows_f32(cand)
+                qrow = q[qi:qi + 1]
+                qg = _euclidean(qrow, rows)
+                gg = _euclidean(rows, rows)
+                qq = np.zeros((1, 1), np.float32)
+                c_k1 = min(int(k1), cand.size)
+                c_k2 = max(1, min(int(k2), c_k1))
+                rr = _rerank_small(qg, qq, gg, c_k1, c_k2,
+                                   float(lambda_value), engine=engine)[0]
+                order = np.argsort(rr, kind='stable')[:kk]
+                out_d[qi, :order.size] = rr[order]
+                out_i[qi, :order.size] = cand[order]
+            if return_paths:
+                return out_d, out_i, self._paths_of(out_i)
+            return out_d, out_i
 
     def remove(self, paths):
         """Drop every row whose path is in ``paths``; returns the number
@@ -476,7 +517,7 @@ class RetrievalIndex:
         assert self._host_g.ndim == 2 and \
             self._host_g.shape[0] == len(self.paths), \
             (self._host_g.shape, len(self.paths))
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._place()
         logger.info('loaded %d x %d index (%s) from %s', len(self.paths),
                     self.dim, 'int8' if int8 else 'f32', path)

@@ -197,6 +197,18 @@ def stream_extract(cfg, model, params, state, roidb, batch_size, mesh,
             else np.zeros((0, model.embedding_dim), np.float32))
 
 
+def default_eval_batch(cfg, n_dev, batch_size=None):
+    """The padded extraction batch every forward runs at: per-device
+    TEST.IMS_PER_BATCH (the reference's per-GPU notion; 64 when unset)
+    times device count, rounded down to a device multiple.  Shared with
+    the serving batcher (tools/serve.py) so coalescing targets exactly
+    the batch the device executes."""
+    if batch_size is None:
+        per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
+        batch_size = per_dev * n_dev
+    return max(n_dev, (batch_size // n_dev) * n_dev)
+
+
 def extract_dataset_features(cfg, model, params, state, roidb,
                              decode_fn=None, batch_size=None,
                              flip_tta=None, mesh=None, device_preproc=None,
@@ -204,11 +216,7 @@ def extract_dataset_features(cfg, model, params, state, roidb,
     if mesh is None:
         mesh = mesh_lib.build_mesh(cfg)
     n_dev = int(np.prod(list(mesh.shape.values())))
-    if batch_size is None:
-        # TEST.IMS_PER_BATCH is per-device (the reference's per-GPU notion)
-        per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
-        batch_size = per_dev * n_dev
-    batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+    batch_size = default_eval_batch(cfg, n_dev, batch_size)
     if flip_tta is None:
         flip_tta = bool(cfg.TEST.BBOX_AUG.ENABLED and cfg.TEST.BBOX_AUG.H_FLIP)
     if device_preproc is None:

@@ -101,6 +101,23 @@ def test_cache_hit_and_invalidation(tiny, monkeypatch):
     assert calls['n'] == 4
 
 
+def test_corrupt_cache_reembeds(tiny, monkeypatch):
+    """A truncated/corrupt cache file (crash mid-write, disk trouble)
+    triggers a clean re-embed instead of crashing the daemon at load."""
+    model, params, state, mesh, gdir, weights = tiny
+    calls = _counting(monkeypatch)
+    with open(os.path.join(gdir, serving.GALLERY_CACHE_NAME), 'wb') as f:
+        f.write(b'PK\x03\x04 definitely not a whole npz')
+    f1, p1 = serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                          mesh, weights_path=weights)
+    assert calls['n'] == 1 and f1.shape[0] == 3 == len(p1)
+    # and the rewritten cache is healthy
+    f2, _ = serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                         mesh, weights_path=weights)
+    assert calls['n'] == 1
+    np.testing.assert_array_equal(f2, f1)
+
+
 def test_chunked_embed_resumes_after_crash(tiny, monkeypatch):
     """Galleries above the chunk size embed resumably: a crash mid-build
     keeps the finished chunks on disk, and the retry embeds only the

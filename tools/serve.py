@@ -194,15 +194,25 @@ def make_handler(state, recall_target, rerank_cfg=None,
             self.end_headers()
             self.wfile.write(body)
 
-        def _results(self, dists, idxs):
+        def _try_json(self, code, obj):
+            """Best-effort error reply: the peer may already be gone."""
+            try:
+                self._json(code, obj)
+            except OSError:
+                self.close_connection = True
+
+        def _results(self, dists, idxs, paths):
+            # paths were resolved inside the index lock (race-safe vs a
+            # concurrent /remove renumbering the rows); never re-resolve
+            # indices against the live state.index.paths here
             out = []
             for qi in range(dists.shape[0]):
                 ranked = [
                     {'rank': r + 1,
-                     'path': state.index.paths[int(idxs[qi, r])],
+                     'path': paths[qi][r],
                      'distance': round(float(dists[qi, r]), 6)}
                     for r in range(dists.shape[1])
-                    if int(idxs[qi, r]) >= 0]
+                    if int(idxs[qi, r]) >= 0 and paths[qi][r] is not None]
                 out.append(ranked)
             return out
 
@@ -214,7 +224,14 @@ def make_handler(state, recall_target, rerank_cfg=None,
                 # own Content-Length on the server
                 left = length
                 while left > 0:
-                    left -= len(self.rfile.read(min(left, 1 << 20)))
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        # client hung up mid-body: read() returns b''
+                        # forever at EOF — stop draining or this loop
+                        # spins at 100% CPU on a dead socket
+                        self.close_connection = True
+                        break
+                    left -= len(chunk)
                 raise _BodyTooLarge(
                     'body {} bytes exceeds limit {}'.format(
                         length, max_body_bytes))
@@ -225,10 +242,11 @@ def make_handler(state, recall_target, rerank_cfg=None,
 
             ``opts`` carries per-request overrides (query params for
             /search, JSON keys for /search_path); server flags provide
-            the defaults.  Returns ((dists, idxs), reranked_flag).
+            the defaults.  Returns ((dists, idxs, paths), reranked_flag)
+            with paths resolved under the index lock.
             """
             if str(opts.get('rerank', '')).lower() in ('1', 'true', 'yes'):
-                d, i = state.index.search_reranked(
+                d, i, p = state.index.search_reranked(
                     q, k,
                     shortlist=int(opts.get(
                         'shortlist', rerank_cfg.get('shortlist', 100))),
@@ -236,10 +254,11 @@ def make_handler(state, recall_target, rerank_cfg=None,
                     k2=int(opts.get('k2', rerank_cfg.get('k2', 6))),
                     lambda_value=float(opts.get(
                         'lambda', rerank_cfg.get('lam', 0.3))),
-                    recall_target=recall_target)
-                return (d, i), True
-            d, i = state.index.search(q, k, recall_target=recall_target)
-            return (d, i), False
+                    recall_target=recall_target, return_paths=True)
+                return (d, i, p), True
+            d, i, p = state.index.search(q, k, recall_target=recall_target,
+                                         return_paths=True)
+            return (d, i, p), False
 
         def do_GET(self):
             path = urlparse(self.path).path
@@ -274,7 +293,7 @@ def make_handler(state, recall_target, rerank_cfg=None,
                 raw = self._read_body()
             except _BodyTooLarge as e:
                 state.record(0.0, error=True)
-                self._json(413, {'error': str(e)})
+                self._try_json(413, {'error': str(e)})
                 return
             try:
                 if url.path == '/search':
@@ -292,10 +311,10 @@ def make_handler(state, recall_target, rerank_cfg=None,
                         q = state.batcher.embed([tmp])
                     finally:
                         os.unlink(tmp)
-                    (d, i), reranked = self._search(q, k, opts)
+                    (d, i, p), reranked = self._search(q, k, opts)
                     ms = (time.perf_counter() - t0) * 1e3
                     state.record(ms)
-                    self._json(200, {'results': self._results(d, i)[0],
+                    self._json(200, {'results': self._results(d, i, p)[0],
                                      'reranked': reranked,
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/search_path':
@@ -329,10 +348,10 @@ def make_handler(state, recall_target, rerank_cfg=None,
                         q = np.asarray(q)
                         q = (q.mean(axis=0) if pool_type == 'average'
                              else q.max(axis=0))[None]
-                    (d, i), reranked = self._search(q, k, req)
+                    (d, i, p), reranked = self._search(q, k, req)
                     ms = (time.perf_counter() - t0) * 1e3
                     state.record(ms)
-                    self._json(200, {'results': self._results(d, i),
+                    self._json(200, {'results': self._results(d, i, p),
                                      'reranked': reranked,
                                      'latency_ms': round(ms, 2)})
                 elif url.path == '/add':
@@ -376,10 +395,16 @@ def make_handler(state, recall_target, rerank_cfg=None,
                 # shed load: the embed backlog is past max_pending —
                 # a bounded 503 beats queueing into lost tail latency
                 state.record((time.perf_counter() - t0) * 1e3, error=True)
-                self._json(503, {'error': str(e), 'retry': True})
+                self._try_json(503, {'error': str(e), 'retry': True})
+            except OSError:
+                # the socket died (client disconnect / broken pipe) —
+                # usually while WRITING a response whose request already
+                # succeeded and was recorded.  Don't double-count it as
+                # an error and don't write into the dead socket.
+                self.close_connection = True
             except Exception as e:  # noqa: BLE001 - report, keep serving
                 state.record((time.perf_counter() - t0) * 1e3, error=True)
-                self._json(400, {'error': '{}: {}'.format(
+                self._try_json(400, {'error': '{}: {}'.format(
                     type(e).__name__, e)})
 
     return Handler
@@ -485,11 +510,13 @@ def main():
 
     # concurrent requests coalesce into one device dispatch, up to the
     # padded extraction batch every single embed pays for anyway
+    # (default_eval_batch is the SAME rule extract_dataset_features
+    # runs — keep them shared so coalescing targets the real batch)
+    from pps_tpu.engine.test import default_eval_batch
     n_dev = int(np.prod(list(mesh.shape.values())))
-    per_dev = cfg.TEST.IMS_PER_BATCH if cfg.TEST.IMS_PER_BATCH > 0 else 64
     batcher = EmbedBatcher(embed_fn,
                            max_batch=args.max_embed_batch or
-                           per_dev * n_dev,
+                           default_eval_batch(cfg, n_dev),
                            max_pending=args.max_pending)
 
     # warm up: compile the query-embed and top-k programs before
@@ -512,6 +539,14 @@ def main():
         q = batcher.embed(g_paths[:1])
     index.search(q, min(args.topk, len(index)),
                  recall_target=args.approx_recall)
+    # the top-k program is jitted per static k: also compile the
+    # rerank-shortlist k now, or the FIRST rerank=1 request compiles
+    # inside the index lock (minutes on a degraded TPU compile service)
+    # while every other search queues behind it
+    if min(args.rerank_shortlist, len(index)) != min(args.topk,
+                                                     len(index)):
+        index.search(q, min(args.rerank_shortlist, len(index)),
+                     recall_target=args.approx_recall)
     logger.info('warmup done in %.1f s (gallery %d x %d, int8=%s, '
                 'sharded=%s)', time.time() - t0, len(index), index.dim,
                 index.int8, index.shard)
