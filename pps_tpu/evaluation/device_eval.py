@@ -41,7 +41,15 @@ def cmc_map_device(distmat, query_ids, gallery_ids, query_cams,
     g_cams = jnp.asarray(gallery_cams)[None, :]
 
     excluded = (g_ids == q_ids) & (g_cams == q_cams)
-    d = jnp.where(excluded, jnp.inf, distmat)
+    # the exclusion mechanism NEEDS +inf to be reserved for excluded
+    # entries: a VALID +inf/nan distance would tie into the excluded
+    # group where stable sort can place an excluded entry inside the
+    # pos < n_valid cutoff and score it.  Clamp valid distances finite
+    # first (order among them is unchanged — all clamped entries tie).
+    big = jnp.float32(3.0e38)
+    d = jnp.clip(jnp.nan_to_num(distmat, nan=big, posinf=big,
+                                neginf=-big), -big, big)
+    d = jnp.where(excluded, jnp.inf, d)
     order = jnp.argsort(d, axis=1, stable=True)
 
     match = jnp.take_along_axis(

@@ -95,6 +95,12 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
         return gi.astype(jnp.float32) * sci[:, None]
 
     if recall_target is not None:
+        # approx_min_k reduces within a chunk, so per-chunk candidates
+        # cap at the chunk size; with k >= chunk the whole chunk IS the
+        # candidate set (exact), no approximation left to do — without
+        # this clamp approx_min_k rejects k > chunk outright
+        kc = min(k, chunk)
+
         def approx_body(_, inp):
             gi_sc, base = inp
             gi = dequant(gi_sc)
@@ -104,8 +110,10 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
             idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, (nq, chunk), 1)
             d2 = jnp.where(idx < ng_valid, jnp.maximum(d2, 0.0), jnp.inf)
+            if kc == chunk:
+                return None, (d2, idx)
             bd, bi = jax.lax.approx_min_k(
-                d2, k, recall_target=float(recall_target))
+                d2, kc, recall_target=float(recall_target))
             return None, (bd, jnp.take_along_axis(idx, bi, axis=1))
 
         _, (ds, is_) = jax.lax.scan(approx_body, None, (gc, bases))

@@ -37,6 +37,30 @@ def test_device_matches_numpy(seed, sep):
                                atol=1e-6)
 
 
+def test_device_eval_valid_inf_distance_not_excluded():
+    """A VALID gallery entry carrying +inf distance (e.g. a masking
+    distmat_fn) must stay inside the scored prefix; previously it could
+    tie into the excluded +inf group and let an excluded same-id-same-cam
+    entry slip into the cutoff as a counted match."""
+    # q0: gallery = [valid id1 inf, excluded id1 cam1, valid id2 0.5]
+    dist = np.array([[np.inf, 0.0, 0.5]], np.float32)
+    q_ids = np.array([1])
+    g_ids = np.array([1, 1, 2])
+    q_cams = np.array([1])
+    g_cams = np.array([2, 1, 2])
+    want_map = metrics.mean_ap(dist, q_ids, g_ids, q_cams, g_cams)
+    want_cmc = metrics.cmc(dist, q_ids, g_ids, q_cams, g_cams, topk=2,
+                           separate_camera_set=False,
+                           single_gallery_shot=False,
+                           first_match_break=True)
+    got_map, got_cmc = cmc_map_device(dist, q_ids, g_ids, q_cams, g_cams,
+                                      topk=2)
+    np.testing.assert_allclose(float(got_map), want_map, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_cmc), want_cmc, rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_device_eval_with_invalid_queries():
     # a query whose only same-id entries share its camera (all excluded)
     dist = np.array([[0.1, 0.2, 0.3],

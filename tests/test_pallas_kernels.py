@@ -66,6 +66,23 @@ def test_streaming_topk_approx_matches_exact():
     np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
 
 
+def test_streaming_topk_approx_k_exceeds_chunk():
+    """k > chunk on the approx path: per-chunk candidates cap at the
+    chunk size (the whole chunk — exact), and the final merge still
+    returns the global top-k.  Regression: approx_min_k rejects
+    k > reduction dim, so this crashed (reachable via
+    serve.py --approx-recall + a rerank shortlist above the chunk)."""
+    import jax.numpy as jnp
+    from pps_tpu.ops.pallas.topk import streaming_topk
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    g = jnp.asarray(rng.randn(300, 16).astype(np.float32))
+    ed, ei = streaming_topk(q, g, k=40, chunk=32)
+    ad, ai = streaming_topk(q, g, k=40, chunk=32, recall_target=0.95)
+    np.testing.assert_allclose(np.asarray(ad), np.asarray(ed), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+
 def test_streaming_topk_int8_gallery():
     """int8-quantized gallery (quantize_gallery + g_scale): results equal
     the float path on the DEQUANTIZED gallery exactly, and stay near the

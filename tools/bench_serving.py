@@ -75,22 +75,24 @@ def main():
 
     img = jax.device_put(rng.randn(1, h, w, 3).astype(np.float32) * 50)
 
-    def embed(x):
-        f = model.extract_features(qparams, state, x)
+    def embed(qp, st, x):
+        f = model.extract_features(qp, st, x)
         if f.shape[1] > d:
             f = f[:, :d]
         elif f.shape[1] < d:
             f = jnp.pad(f, ((0, 0), (0, d - f.shape[1])))
         return f
 
-    @partial(jax.jit, static_argnums=3)
-    def serve_chain(x, gal, gsc, n):
+    @partial(jax.jit, static_argnums=5)
+    def serve_chain(x, qp, st, gal, gsc, n):
         """n chained end-to-end queries: embed -> top-k; the next
         query's input depends on the previous result (no overlap).
-        The gallery is an ARGUMENT (a closure capture would bake 4 GB
-        into the lowered program as a constant)."""
+        The gallery AND the model weights/state are ARGUMENTS (a
+        closure capture would bake them into the lowered program as
+        constants — 4 GB for the gallery, ~25 MB per weight set — and
+        key the compile cache on the weight values)."""
         def body(carry, _):
-            q = embed(carry)
+            q = embed(qp, st, carry)
             dist, idx = streaming_topk(q, gal, k=args.topk,
                                        chunk=args.chunk, g_scale=gsc)
             # fold the result back into the next input (real dependency;
@@ -102,7 +104,7 @@ def main():
 
     def run(n):
         t0 = time.perf_counter()
-        float(jnp.sum(serve_chain(img, gd, sd, n)))
+        float(jnp.sum(serve_chain(img, qparams, state, gd, sd, n)))
         return time.perf_counter() - t0
 
     for n in (2, 2 + args.iters):

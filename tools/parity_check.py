@@ -60,8 +60,9 @@ def _load_features(path):
 
 
 def main():
-    from pps_tpu.utils.env import apply_platform_env
+    from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
     apply_platform_env()
+    configure_jax_cache()  # --weights path compiles the eval graph
     args = parse_args()
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)

@@ -22,7 +22,6 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 import argparse
-import os
 
 import numpy as np
 

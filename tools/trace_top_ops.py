@@ -39,6 +39,11 @@ def capture_trace(trace_dir, batch, steps, eval_path=False, dtype='bfloat16',
 
     p = 8
     k = max(1, batch // p)
+    if not eval_path and p * k != batch:
+        raise SystemExit(
+            '--batch {} is not a multiple of {} (the train step runs '
+            'P x K triplet batches: P={} identities x K images); pick '
+            'e.g. {} or {}'.format(batch, p, p, p * k, p * (k + 1)))
     cfg = g._flagship_cfg(ims_per_batch=batch, p=p, k=k, dtype=dtype)
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
