@@ -187,19 +187,60 @@ def blobs_to_params(model, blobs, params, state):
 # ---------------------------------------------------------------------------
 
 
+_PKL_SYNC = [0]
+
+
+def _replicate_for_host(tree):
+    """Re-commit every jax leaf to a fully-replicated sharding so the
+    host fetch in params_to_blobs works on every process (multi-host:
+    one XLA all-gather per leaf — a COLLECTIVE, so all processes must
+    call together from the main thread).  No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1 or tree is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fix(x):
+        if isinstance(x, jax.Array) and hasattr(x.sharding, 'mesh'):
+            rep = NamedSharding(x.sharding.mesh, P())
+            return jax.jit(lambda a: a, out_shardings=rep)(x)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def save_checkpoint(path, model, params, state, opt_state=None, cfg=None):
     """Write a reference-compatible weights pickle
-    (reference utils/net.py:138-178 content contract)."""
-    blobs = params_to_blobs(model, params, state)
-    if opt_state is not None and 'momentum' in opt_state:
-        mom_blobs = params_to_blobs(model, opt_state['momentum'])
-        for name, arr in mom_blobs.items():
-            blobs[name + '_momentum'] = arr
-    payload = {'blobs': blobs}
-    if cfg is not None:
-        payload['cfg'] = yaml.dump(_plain(dict(cfg)))
-    save_object(payload, path)
-    logger.info('Wrote checkpoint: %s (%d blobs)', path, len(blobs))
+    (reference utils/net.py:138-178 content contract).
+
+    Multi-host: every process must call this together FROM THE MAIN
+    THREAD (process-sharded leaves are all-gathered first); process 0
+    writes the file and everyone barriers on completion, so a process
+    returning from here may rely on the file existing."""
+    import jax
+
+    multi = jax.process_count() > 1
+    if multi:
+        params = _replicate_for_host(params)
+        state = _replicate_for_host(state)
+        opt_state = _replicate_for_host(opt_state)
+    if not multi or jax.process_index() == 0:
+        blobs = params_to_blobs(model, params, state)
+        if opt_state is not None and 'momentum' in opt_state:
+            mom_blobs = params_to_blobs(model, opt_state['momentum'])
+            for name, arr in mom_blobs.items():
+                blobs[name + '_momentum'] = arr
+        payload = {'blobs': blobs}
+        if cfg is not None:
+            payload['cfg'] = yaml.dump(_plain(dict(cfg)))
+        save_object(payload, path)
+        logger.info('Wrote checkpoint: %s (%d blobs)', path, len(blobs))
+    if multi:
+        from jax.experimental import multihost_utils
+        _PKL_SYNC[0] += 1
+        multihost_utils.sync_global_devices(
+            'pps_ckpt_%d' % _PKL_SYNC[0])
 
 
 def _plain(obj):

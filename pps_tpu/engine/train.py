@@ -63,10 +63,15 @@ class Preempted(Exception):
         self.path = path
 
 
-def create_model(cfg, output_dir):
+def create_model(cfg, output_dir, mesh=None):
     """Build model + init/resume state.  Returns
     (model, params, state, opt_state, start_epoch, start_step,
-    resumed_final)."""
+    resumed_final).
+
+    mesh: required for orbax resume under multi-host — the restore
+    template must carry shardings that are GLOBALLY consistent across
+    processes (fully-replicated over the mesh); per-process local-device
+    templates make orbax attempt cross-host device transfers."""
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(cfg.RNG_SEED))
     opt_state = opt_lib.init_opt_state(
@@ -85,9 +90,16 @@ def create_model(cfg, output_dir):
             logger.info('Auto-resuming from %s (epoch %d, step %d)',
                         path, epoch, step)
             if path.endswith('.orbax'):
-                ts = ckpt_lib.load_checkpoint_orbax(
-                    path, {'params': params, 'state': state,
-                           'opt': opt_state})
+                tmpl = {'params': params, 'state': state,
+                        'opt': opt_state}
+                if mesh is not None and jax.process_count() > 1:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+                    rep = NamedSharding(mesh, P())
+                    tmpl = jax.tree_util.tree_map(
+                        lambda x: jax.ShapeDtypeStruct(
+                            x.shape, x.dtype, sharding=rep), tmpl)
+                ts = ckpt_lib.load_checkpoint_orbax(path, tmpl)
                 params, state, opt_state = (ts['params'], ts['state'],
                                             ts['opt'])
             else:
@@ -125,8 +137,9 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     configure_jax_cache()
     checkpoints = {}
 
+    mesh = mesh_lib.build_mesh(cfg)
     model, params, state, opt_state, start_epoch, resume_step, done = \
-        create_model(cfg, output_dir)
+        create_model(cfg, output_dir, mesh=mesh)
     if done:
         checkpoints['final'] = os.path.join(output_dir, 'model_final.pkl')
         return checkpoints
@@ -135,7 +148,18 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
         roidb, _ = combined_roidb_for_training(
             cfg.TRAIN.DATASETS, use_flipped=cfg.TRAIN.USE_FLIPPED)
 
-    mesh = mesh_lib.build_mesh(cfg)
+    if jax.process_count() > 1 and cfg.TPU.CKPT_FORMAT != 'orbax':
+        # pkl epoch snapshots stream from a background thread, but in
+        # multi-host the pkl writer must all-gather process-sharded
+        # leaves — a collective, illegal off the main thread while
+        # training computations run.  orbax snapshots are multi-host
+        # native (each host streams only its own shards); model_final
+        # stays a reference-interop pkl (written on the main thread).
+        raise ValueError(
+            'multi-host training requires TPU.CKPT_FORMAT: orbax '
+            '(epoch snapshots write from a background thread; the pkl '
+            'writer needs cross-host gathers). model_final.pkl is '
+            'still produced for reference interop.')
     meta = opt_lib.make_param_meta(params, cfg)
     # TRAIN.FREEZE_AT / FREEZE_CONV_BODY: frozen params get no update op
     # (reference optimizer.py:90-157 builds updates only for params with
@@ -218,8 +242,28 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
     saver_fut = None
     preempt = preempt_event if preempt_event is not None else _PREEMPT
     preempt.clear()  # a stale flag must not kill the fresh run at step 1
+    # Multi-host: a SIGTERM that reaches ONE host must not make that
+    # process exit unilaterally (the others would hang in the next
+    # collective).  Under jax.distributed the coordination service owns
+    # SIGTERM (jax_enable_preemption_service, on by default): it
+    # propagates the notice and reached_preemption_sync_point(step)
+    # returns True on EVERY host at the same agreed step — so we install
+    # our own handler only single-process, and poll the sync point per
+    # step otherwise.  A caller-supplied preempt_event in multi-host
+    # must fire at the same step on all processes (a per-step poll
+    # counter does; see tests).
+    preempt_sync = None
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def preempt_sync(step):  # noqa: F811
+            try:
+                return multihost_utils.reached_preemption_sync_point(step)
+            except RuntimeError:  # preemption service disabled
+                return False
     old_sig, sig_installed = None, False
-    if threading.current_thread() is threading.main_thread():
+    if (jax.process_count() == 1 and
+            threading.current_thread() is threading.main_thread()):
         try:
             old_sig = signal.signal(signal.SIGTERM, request_preemption)
             sig_installed = True
@@ -273,7 +317,8 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                 if stats.loss_is_nan():
                     loader._stop.set()
                     raise FloatingPointError('Loss is NaN')
-                if preempt.is_set():
+                if preempt.is_set() or (preempt_sync is not None and
+                                        preempt_sync(global_step)):
                     # checkpoint SYNCHRONOUSLY (the grace window is
                     # short; durability before exit beats overlap) and
                     # unwind.  train_state is this step's output — not

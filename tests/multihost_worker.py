@@ -118,6 +118,83 @@ def train_mode(pid, workdir):
     print('MULTIHOST_TRAIN_OK pid=%d loss=%.6f' % (pid, loss), flush=True)
 
 
+def _preempt_roidb(n_ids=8, per_id=6):
+    roidb = []
+    for pid_ in range(1, n_ids + 1):
+        for j in range(per_id):
+            roidb.append({
+                'image': 'mem://%d_%d' % (pid_, j),
+                'im_name': '%08d_%04d_%08d.jpg' % (pid_, j % 2 + 1,
+                                                   len(roidb)),
+                'gt_class': pid_, 'mark': None, 'flipped': False,
+                'height': 48, 'width': 20})
+    return roidb
+
+
+def _preempt_decode(path):
+    i = abs(int(path.split('://')[1].replace('_', ''))) % 1000
+    return (np.random.RandomState(i).rand(48, 20, 3) * 255).astype(
+        np.uint8)
+
+
+def preempt_mode(pid, workdir, variant):
+    """Full train_model driver under 2-process jax.distributed.
+
+    variant 'cont': run MAX_ITER epochs straight through.
+    variant 'pre': a per-step-counting preempt event fires at the SAME
+    step on both processes (the documented multi-host contract for
+    caller-supplied events); both raise Preempted with identical
+    (epoch, step) and write ONE orbax preempt checkpoint; a second
+    train_model call auto-resumes mid-epoch and completes.
+
+    The parent asserts model_final.pkl of 'pre' is BITWISE equal to
+    'cont' — same 2-process topology, so no cross-topology reduction
+    noise excuse applies.
+    """
+    import _mh_train_common as common
+    from pps_tpu.engine import train as train_lib
+
+    cfg = common.tiny_flagship_cfg()
+    cfg.immutable(False)
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.TRAIN.SNAPSHOT_ITERS = 1
+    cfg.TRAIN.AUTO_RESUME = True
+    cfg.TPU.CKPT_FORMAT = 'orbax'
+    out_dir = os.path.join(workdir, variant)
+    roidb = _preempt_roidb()
+
+    class AfterSteps(object):
+        def __init__(self, n):
+            self.calls, self.n = 0, n
+
+        def clear(self):
+            pass
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    if variant == 'pre':
+        try:
+            train_lib.train_model(cfg, output_dir=out_dir, roidb=roidb,
+                                  decode_fn=_preempt_decode,
+                                  num_workers=1, log_period=1,
+                                  preempt_event=AfterSteps(3))
+            raise AssertionError('expected Preempted')
+        except train_lib.Preempted as p:
+            assert p.step == 3, (p.epoch, p.step)
+            assert p.path.endswith('.orbax') and os.path.isdir(p.path), \
+                p.path
+            print('MULTIHOST_PREEMPTED pid=%d epoch=%d step=%d'
+                  % (pid, p.epoch, p.step), flush=True)
+    ck = train_lib.train_model(cfg, output_dir=out_dir, roidb=roidb,
+                               decode_fn=_preempt_decode,
+                               num_workers=1, log_period=1)
+    assert os.path.exists(ck['final']), ck
+    print('MULTIHOST_PREEMPT_DONE pid=%d variant=%s' % (pid, variant),
+          flush=True)
+
+
 def main():
     coord, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else 'basic'
@@ -127,6 +204,9 @@ def main():
     assert len(jax.devices()) == 4 * nprocs
     if mode == 'train':
         train_mode(pid, sys.argv[5])
+        return
+    if mode == 'preempt':
+        preempt_mode(pid, sys.argv[5], sys.argv[6])
         return
 
     from pps_tpu.parallel import mesh as mesh_lib

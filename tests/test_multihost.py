@@ -51,6 +51,82 @@ def test_two_process_shard_batch():
         assert 'MULTIHOST_OK pid=%d' % pid in out, out
 
 
+def _run_pair(args, logdir, timeout=560):
+    """Run the 2-process worker pair with stdout to FILES, not pipes:
+    a chatty worker (train_model logs json_stats per step) fills a
+    64 KB pipe while the parent drains the OTHER process first, blocks
+    mid-step, and deadlocks its peer inside the next collective."""
+    coord = '127.0.0.1:%d' % _free_port()
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    os.makedirs(logdir, exist_ok=True)
+    logs = [os.path.join(logdir, 'worker%d.log' % pid) for pid in range(2)]
+    procs = []
+    handles = []
+    for pid in range(2):
+        f = open(logs[pid], 'w')
+        handles.append(f)
+        procs.append(subprocess.Popen(
+            [sys.executable, _WORKER, coord, str(pid), '2'] + args,
+            stdout=f, stderr=subprocess.STDOUT, env=env, text=True))
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in handles:
+            f.close()
+    outs = [open(l).read() for l in logs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, 'process %d failed:\n%s' % (pid, out)
+    return outs
+
+
+def test_two_process_preempt_resume_bitwise(tmp_path):
+    """The FULL train_model driver under 2-process jax.distributed, with
+    mid-epoch preemption: both processes agree on the preempt step
+    (per-step event poll), write ONE orbax preempt checkpoint, raise
+    Preempted with identical (epoch, step), auto-resume mid-epoch, and
+    the resulting model_final.pkl is BITWISE equal to a continuous
+    2-process run of the same schedule (same topology — no reduction-
+    noise exemption).  Also covers the multi-host pkl writer (process-0
+    write + cross-host barrier in save_checkpoint)."""
+    import numpy as np
+    from pps_tpu.utils.io import load_object
+
+    workdir = str(tmp_path)
+    # cold-cache legs compile the full train_model program set (softmax
+    # + triplet epoch steps + augment) in two processes on this 1-core
+    # host — allow well past the warm-cache ~2 min
+    outs = _run_pair(['preempt', workdir, 'cont'],
+                     os.path.join(workdir, 'logs_cont'), timeout=1200)
+    for pid, out in enumerate(outs):
+        assert 'MULTIHOST_PREEMPT_DONE pid=%d variant=cont' % pid in out, \
+            out
+
+    outs = _run_pair(['preempt', workdir, 'pre'],
+                     os.path.join(workdir, 'logs_pre'), timeout=1200)
+    marks = []
+    for pid, out in enumerate(outs):
+        assert 'MULTIHOST_PREEMPT_DONE pid=%d variant=pre' % pid in out, \
+            out
+        m = [l for l in out.splitlines()
+             if l.startswith('MULTIHOST_PREEMPTED pid=%d' % pid)]
+        assert m, out
+        marks.append(m[0].split('pid=%d ' % pid, 1)[1])
+    assert marks[0] == marks[1], marks  # same (epoch, step) on both
+
+    cont = load_object(os.path.join(workdir, 'cont',
+                                    'model_final.pkl'))['blobs']
+    pre = load_object(os.path.join(workdir, 'pre',
+                                   'model_final.pkl'))['blobs']
+    assert sorted(cont) == sorted(pre)
+    for k in cont:
+        np.testing.assert_array_equal(cont[k], pre[k], err_msg=k)
+
+
 def test_two_process_flagship_train(tmp_path):
     """Real multi-host TRAINING parity (VERDICT r2 #3): the flagship-tiny
     train step (same cfg as dryrun_multichip — uint8 augment wire,
