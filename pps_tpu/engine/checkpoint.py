@@ -189,25 +189,44 @@ def blobs_to_params(model, blobs, params, state):
 
 _PKL_SYNC = [0]
 
+# mesh -> jitted identity with replicated out_shardings, reused across
+# saves so repeated checkpoints hit the jit fast path instead of
+# retracing (see _replicate_for_host).
+_GATHER_JITS = {}
+
 
 def _replicate_for_host(tree):
     """Re-commit every jax leaf to a fully-replicated sharding so the
     host fetch in params_to_blobs works on every process (multi-host:
-    one XLA all-gather per leaf — a COLLECTIVE, so all processes must
-    call together from the main thread).  No-op single-process."""
+    an XLA all-gather — a COLLECTIVE, so all processes must call
+    together from the main thread).  No-op single-process.
+
+    All leaves sharing a mesh go through ONE jitted identity call (a
+    single sharding is a valid out_shardings prefix for the whole list),
+    so a save compiles one gather program per mesh — not one tiny XLA
+    program per parameter leaf, which on a slow remote compile service
+    turns a checkpoint into minutes of compile stalls."""
     import jax
 
     if jax.process_count() == 1 or tree is None:
         return tree
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def fix(x):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_mesh = {}
+    for i, x in enumerate(leaves):
         if isinstance(x, jax.Array) and hasattr(x.sharding, 'mesh'):
-            rep = NamedSharding(x.sharding.mesh, P())
-            return jax.jit(lambda a: a, out_shardings=rep)(x)
-        return x
-
-    return jax.tree_util.tree_map(fix, tree)
+            by_mesh.setdefault(x.sharding.mesh, []).append(i)
+    for mesh, idxs in by_mesh.items():
+        gather = _GATHER_JITS.get(mesh)
+        if gather is None:
+            rep = NamedSharding(mesh, P())
+            gather = _GATHER_JITS[mesh] = jax.jit(
+                lambda xs: xs, out_shardings=rep)
+        fixed = gather([leaves[i] for i in idxs])
+        for i, x in zip(idxs, fixed):
+            leaves[i] = x
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_checkpoint(path, model, params, state, opt_state=None, cfg=None):

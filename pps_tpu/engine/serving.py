@@ -168,6 +168,27 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
     return feats, paths
 
 
+def build_index_from_args(cfg, model, params, state, mesh, *,
+                          gallery=None, load_index=None, int8=False,
+                          shard=False, weights_path=None, refresh=False):
+    """The load-index-vs-embed-gallery bootstrap shared by the serving
+    CLIs (tools/serve.py and tools/retrieve.py keep identical semantics
+    by construction).  Raises ValueError when neither source is given —
+    CLIs map that to parser.error()."""
+    if load_index:
+        if int8:
+            logger.warning('--int8-gallery is ignored with --load-index: '
+                           'the stored rows carry their own precision')
+        return RetrievalIndex.load(load_index, mesh=mesh, shard=shard)
+    if not gallery:
+        raise ValueError('--gallery is required unless --load-index')
+    g_feats, g_paths = embed_gallery_cached(
+        cfg, model, params, state, gallery, mesh,
+        weights_path=weights_path, refresh=refresh)
+    return RetrievalIndex(g_feats, g_paths, mesh=mesh, int8=int8,
+                          shard=shard)
+
+
 class Overloaded(RuntimeError):
     """Raised by EmbedBatcher.embed when the pending queue exceeds
     ``max_pending``: the server sheds load (HTTP 503) instead of
@@ -200,6 +221,7 @@ class EmbedBatcher:
         self.max_pending = (None if max_pending is None
                             else max(1, int(max_pending)))
         self._q = queue.Queue()
+        self._closed = False
         self.dispatches = 0                   # device calls issued
         self.images = 0                       # images embedded
         self.shed = 0                         # requests refused (overload)
@@ -212,13 +234,17 @@ class EmbedBatcher:
         return self._q.qsize()
 
     def close(self):
+        self._closed = True
         self._q.put(self._STOP)
         self._thread.join(timeout=60)
 
     def embed(self, paths):
         """Blocking: returns [len(paths), D] f32 (raises on bad input;
         raises Overloaded without queueing when the backlog exceeds
-        ``max_pending``)."""
+        ``max_pending`` or the batcher was close()d — in-flight daemon
+        requests at shutdown get a 503, not a blocked-forever thread)."""
+        if self._closed:
+            raise Overloaded('embed batcher closed (shutting down)')
         if self.max_pending is not None and \
                 self._q.qsize() >= self.max_pending:
             self.shed += 1
@@ -228,15 +254,34 @@ class EmbedBatcher:
         box = {'feats': None, 'err': None}
         done = threading.Event()
         self._q.put((list(paths), box, done))
-        done.wait()
+        # The poll guards the enqueue-vs-close race: a request put after
+        # the dispatcher consumed _STOP would otherwise wait forever.
+        while not done.wait(1.0):
+            if self._closed and not self._thread.is_alive():
+                raise Overloaded('embed batcher closed while queued')
         if box['err'] is not None:
             raise box['err']
         return box['feats']
+
+    def _fail_queued(self):
+        """Fail every request still queued at shutdown (anything that
+        raced in behind _STOP) instead of stranding its caller."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is self._STOP:
+                continue
+            _, box, done = item
+            box['err'] = Overloaded('embed batcher closed (shutting down)')
+            done.set()
 
     def _loop(self):
         while True:
             item = self._q.get()
             if item is self._STOP:
+                self._fail_queued()
                 return
             batch = [item]
             n = len(item[0])

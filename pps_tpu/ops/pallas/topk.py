@@ -50,7 +50,9 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
     hardware-accelerated ``lax.approx_min_k`` with one exact final merge
     over the collected candidates — measured on v5e at 3368 queries x 1M
     gallery x top-100: exact 1.73 s, recall_target 0.95 -> 0.26 s (6.7x)
-    at 0.9999 measured recall vs exact (BASELINE.md).
+    at 0.9999 measured recall vs exact (BASELINE.md).  With k >= chunk
+    per-chunk approximation has nothing to reduce, so that case routes
+    through the exact scan (identical results, bounded memory).
 
     g_scale: per-row dequant scales for an int8-quantized gallery
     (quantize_gallery).  The gallery stays int8 in HBM (4x smaller);
@@ -94,12 +96,14 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
             return gi
         return gi.astype(jnp.float32) * sci[:, None]
 
-    if recall_target is not None:
-        # approx_min_k reduces within a chunk, so per-chunk candidates
-        # cap at the chunk size; with k >= chunk the whole chunk IS the
-        # candidate set (exact), no approximation left to do — without
-        # this clamp approx_min_k rejects k > chunk outright
-        kc = min(k, chunk)
+    if recall_target is not None and k < chunk:
+        # approx_min_k reduces within a chunk, so with k >= chunk there
+        # is no approximation left to do — that case falls through to
+        # the exact scan below, whose O(nq*(chunk+k)) streaming merge
+        # handles any k (stacking whole chunks as "candidates" here
+        # would materialize the dense [Nq, Ng] matrix this module
+        # exists to avoid).
+        kc = k
 
         def approx_body(_, inp):
             gi_sc, base = inp
@@ -110,8 +114,6 @@ def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
             idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, (nq, chunk), 1)
             d2 = jnp.where(idx < ng_valid, jnp.maximum(d2, 0.0), jnp.inf)
-            if kc == chunk:
-                return None, (d2, idx)
             bd, bi = jax.lax.approx_min_k(
                 d2, kc, recall_target=float(recall_target))
             return None, (bd, jnp.take_along_axis(idx, bi, axis=1))

@@ -17,6 +17,23 @@ BATCH = P_ * K_
 NUM_CLASSES = 32 * MESH_SHAPE[1] + 1
 
 
+class PreemptAfterSteps(object):
+    """Event-alike whose is_set() reads True from the n-th poll on;
+    train_model polls once per step => deterministic preempt point.
+    Shared by the single-process and multi-host preemption tests so a
+    change to the polling contract breaks in exactly one place."""
+
+    def __init__(self, n):
+        self.calls, self.n = 0, n
+
+    def clear(self):
+        pass
+
+    def is_set(self):
+        self.calls += 1
+        return self.calls >= self.n
+
+
 def tiny_flagship_cfg():
     import __graft_entry__ as g
     return g._flagship_cfg(scale=(32, 96), num_classes=NUM_CLASSES,

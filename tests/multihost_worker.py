@@ -163,16 +163,7 @@ def preempt_mode(pid, workdir, variant):
     out_dir = os.path.join(workdir, variant)
     roidb = _preempt_roidb()
 
-    class AfterSteps(object):
-        def __init__(self, n):
-            self.calls, self.n = 0, n
-
-        def clear(self):
-            pass
-
-        def is_set(self):
-            self.calls += 1
-            return self.calls >= self.n
+    from _mh_train_common import PreemptAfterSteps as AfterSteps
 
     if variant == 'pre':
         try:

@@ -148,6 +148,51 @@ def test_multi_path_request_and_close():
     assert not b._thread.is_alive()
 
 
+def test_embed_after_close_fails_fast():
+    """A closed batcher must refuse new work immediately (the daemon
+    maps Overloaded to HTTP 503), not enqueue behind the consumed stop
+    sentinel and block the handler thread forever."""
+    import pytest
+    from pps_tpu.engine.serving import Overloaded
+    b = EmbedBatcher(
+        lambda paths: np.array([_row(p) for p in paths], np.float32))
+    b.close()
+    with pytest.raises(Overloaded):
+        b.embed(['1'])
+
+
+def test_request_queued_behind_stop_is_failed():
+    """A request that races into the queue behind the stop sentinel is
+    failed by the exiting dispatcher instead of stranding its caller."""
+    from pps_tpu.engine.serving import Overloaded
+    gate = threading.Event()
+
+    def fake(paths):
+        gate.wait(20)
+        return np.array([_row(p) for p in paths], np.float32)
+
+    b = EmbedBatcher(fake, max_batch=1)
+    ok = {}
+    first = threading.Thread(
+        target=lambda: ok.setdefault('r', b.embed(['0'])))
+    first.start()
+    time.sleep(0.3)  # dispatcher is held inside fake()
+    closer = threading.Thread(target=b.close)
+    closer.start()  # puts _STOP behind the held dispatch
+    time.sleep(0.2)
+    # a straggler races in BEHIND the stop sentinel (bypassing the
+    # _closed fast-path, as a real racing thread could)
+    box = {'feats': None, 'err': None}
+    done = threading.Event()
+    b._q.put((['9'], box, done))
+    gate.set()
+    first.join(20)
+    closer.join(70)
+    assert done.wait(5), 'straggler was stranded'
+    assert isinstance(box['err'], Overloaded), box
+    np.testing.assert_array_equal(ok['r'][0], _row('0'))
+
+
 def test_load_shedding_at_max_pending():
     from pps_tpu.engine.serving import Overloaded
     gate = threading.Event()

@@ -67,11 +67,13 @@ def test_streaming_topk_approx_matches_exact():
 
 
 def test_streaming_topk_approx_k_exceeds_chunk():
-    """k > chunk on the approx path: per-chunk candidates cap at the
-    chunk size (the whole chunk — exact), and the final merge still
-    returns the global top-k.  Regression: approx_min_k rejects
-    k > reduction dim, so this crashed (reachable via
-    serve.py --approx-recall + a rerank shortlist above the chunk)."""
+    """k >= chunk with recall_target routes through the EXACT scan
+    (per-chunk approximation has nothing to reduce) and must return the
+    global top-k with bounded memory.  Regression, twice: approx_min_k
+    rejects k > reduction dim (crash), and the first fix stacked whole
+    chunks as candidates — the dense [Nq, Ng] matrix, an HBM OOM at
+    1M-gallery scale (reachable via serve.py --approx-recall + a rerank
+    shortlist above the chunk)."""
     import jax.numpy as jnp
     from pps_tpu.ops.pallas.topk import streaming_topk
     rng = np.random.RandomState(3)

@@ -258,6 +258,22 @@ def test_serve_daemon_e2e(tmp_path):
         # ... and the daemon keeps serving
         assert _req(base + '/healthz')['status'] == 'ok'
 
+        # chunked Transfer-Encoding: refused with 411 + Connection:
+        # close (no chunked decoder; replying with undrained frames in
+        # the socket would poison keep-alive for the NEXT request)
+        conn = http.client.HTTPConnection(host, int(port), timeout=60)
+        conn.putrequest('POST', '/search?k=1')
+        conn.putheader('Transfer-Encoding', 'chunked')
+        conn.endheaders()
+        conn.send(b'5\r\nhello\r\n0\r\n\r\n')
+        resp = conn.getresponse()
+        assert resp.status == 411, resp.status
+        assert resp.getheader('Connection') == 'close'
+        resp.read()
+        conn.close()
+        # ... and the daemon keeps serving on a fresh connection
+        assert _req(base + '/healthz')['status'] == 'ok'
+
         # /metrics: Prometheus text exposition of the same counters
         mreq = urllib.request.Request(base + '/metrics')
         with urllib.request.urlopen(mreq, timeout=60) as resp:

@@ -309,18 +309,7 @@ def test_preempt_midepoch_resume_bitwise(tiny_train_cfg, tmp_path):
     cont = load_object(os.path.join(str(tmp_path / 'cont'),
                                     'model_final.pkl'))['blobs']
 
-    class AfterSteps(object):
-        """Event-alike whose is_set() reads True from the n-th poll on;
-        the loop polls once per step => deterministic preempt point."""
-        def __init__(self, n):
-            self.calls, self.n = 0, n
-
-        def clear(self):
-            pass
-
-        def is_set(self):
-            self.calls += 1
-            return self.calls >= self.n
+    from _mh_train_common import PreemptAfterSteps as AfterSteps
 
     out = str(tmp_path / 'pre')
     with pytest.raises(train_lib.Preempted) as ei:
@@ -354,16 +343,7 @@ def test_preempt_orbax_format(tiny_train_cfg, tmp_path):
     c.SOLVER.MAX_ITER = 2
     decode = _class_decoder(N_IDS)
 
-    class AfterSteps(object):
-        def __init__(self, n):
-            self.calls, self.n = 0, n
-
-        def clear(self):
-            pass
-
-        def is_set(self):
-            self.calls += 1
-            return self.calls >= self.n
+    from _mh_train_common import PreemptAfterSteps as AfterSteps
 
     out = str(tmp_path / 'pre_orbax')
     with pytest.raises(train_lib.Preempted) as ei:

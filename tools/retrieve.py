@@ -75,8 +75,7 @@ def main():
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
-    from pps_tpu.engine.serving import (RetrievalIndex,
-                                        embed_gallery_cached, embed_paths)
+    from pps_tpu.engine.serving import build_index_from_args, embed_paths
     from pps_tpu.models.model import build_model
     from pps_tpu.parallel import mesh as mesh_lib
     from pps_tpu.utils.logging import setup_logging
@@ -93,18 +92,14 @@ def main():
                                                 params, state)
     mesh = mesh_lib.build_mesh(cfg)
 
-    if args.load_index:
-        index = RetrievalIndex.load(args.load_index, mesh=mesh,
-                                    shard=args.shard_gallery)
-    else:
-        if not args.gallery:
-            parser.error('--gallery is required unless --load-index')
-        g_feats, g_paths = embed_gallery_cached(
-            cfg, model, params, state, args.gallery, mesh,
+    try:
+        index = build_index_from_args(
+            cfg, model, params, state, mesh,
+            gallery=args.gallery, load_index=args.load_index,
+            int8=args.int8_gallery, shard=args.shard_gallery,
             weights_path=args.weights, refresh=args.refresh_cache)
-        index = RetrievalIndex(g_feats, g_paths, mesh=mesh,
-                               int8=args.int8_gallery,
-                               shard=args.shard_gallery)
+    except ValueError as e:
+        parser.error(str(e))
     if args.save_index:
         index.save(args.save_index)
     gallery_paths = index.paths

@@ -84,6 +84,10 @@ class _BodyTooLarge(ValueError):
     pass
 
 
+class _ChunkedBody(ValueError):
+    pass
+
+
 class ServerState(object):
     """Everything a request needs: the embed batcher, the index, stats."""
 
@@ -191,6 +195,10 @@ def make_handler(state, recall_target, rerank_cfg=None,
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
+            if self.close_connection:
+                # tell the peer we will close (e.g. an undrainable
+                # chunked body) instead of silently dropping keep-alive
+                self.send_header('Connection', 'close')
             self.end_headers()
             self.wfile.write(body)
 
@@ -217,6 +225,16 @@ def make_handler(state, recall_target, rerank_cfg=None,
             return out
 
         def _read_body(self):
+            te = (self.headers.get('Transfer-Encoding') or '').lower()
+            if 'chunked' in te:
+                # no chunked decoding here: the frames can't be drained
+                # by Content-Length, so replying while they sit in rfile
+                # would poison the keep-alive stream (the next request
+                # would parse a chunk-size line as its request line).
+                # Refuse with 411 and close THIS connection instead.
+                self.close_connection = True
+                raise _ChunkedBody('chunked Transfer-Encoding not '
+                                   'supported; send Content-Length')
             length = int(self.headers.get('Content-Length', 0))
             if length > max_body_bytes:
                 # drain in bounded chunks (keep-alive stays usable),
@@ -294,6 +312,10 @@ def make_handler(state, recall_target, rerank_cfg=None,
             except _BodyTooLarge as e:
                 state.record(0.0, error=True)
                 self._try_json(413, {'error': str(e)})
+                return
+            except _ChunkedBody as e:
+                state.record(0.0, error=True)
+                self._try_json(411, {'error': str(e)})
                 return
             try:
                 if url.path == '/search':
@@ -471,8 +493,8 @@ def main():
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
-    from pps_tpu.engine.serving import (EmbedBatcher, RetrievalIndex,
-                                        embed_gallery_cached, embed_paths)
+    from pps_tpu.engine.serving import (EmbedBatcher,
+                                        build_index_from_args, embed_paths)
     from pps_tpu.models.model import build_model
     from pps_tpu.parallel import mesh as mesh_lib
     from pps_tpu.utils.logging import setup_logging
@@ -489,21 +511,14 @@ def main():
                                                 params, state)
     mesh = mesh_lib.build_mesh(cfg)
 
-    if args.load_index:
-        if args.int8_gallery:
-            logger.warning('--int8-gallery is ignored with --load-index: '
-                           'the stored rows carry their own precision')
-        index = RetrievalIndex.load(args.load_index, mesh=mesh,
-                                    shard=args.shard_gallery)
-    else:
-        if not args.gallery:
-            parser.error('--gallery is required unless --load-index')
-        g_feats, g_paths = embed_gallery_cached(
-            cfg, model, params, state, args.gallery, mesh,
+    try:
+        index = build_index_from_args(
+            cfg, model, params, state, mesh,
+            gallery=args.gallery, load_index=args.load_index,
+            int8=args.int8_gallery, shard=args.shard_gallery,
             weights_path=args.weights, refresh=args.refresh_cache)
-        index = RetrievalIndex(g_feats, g_paths, mesh=mesh,
-                               int8=args.int8_gallery,
-                               shard=args.shard_gallery)
+    except ValueError as e:
+        parser.error(str(e))
 
     def embed_fn(paths):
         return embed_paths(cfg, model, params, state, paths, mesh)
@@ -536,7 +551,7 @@ def main():
         finally:
             os.unlink(tmp)
     else:
-        q = batcher.embed(g_paths[:1])
+        q = batcher.embed(list(index.paths[:1]))
     index.search(q, min(args.topk, len(index)),
                  recall_target=args.approx_recall)
     # the top-k program is jitted per static k: also compile the
