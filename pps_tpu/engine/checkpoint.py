@@ -56,9 +56,10 @@ def _head_entries(model):
 
 
 def _head_state_entries(model):
-    # ConvGN and AffineChannel (MODEL.USE_BN=False) heads carry no
-    # running stats — reference checkpoints for those have no rm/riv
-    if model.head_spec.get('use_gn') or model.head_spec.get('use_affine'):
+    # ConvGN heads carry no running stats — reference checkpoints for
+    # those have no rm/riv (the non-GN head always has real SpatialBN
+    # stats regardless of MODEL.USE_BN, reid_heads.py:58)
+    if model.head_spec.get('use_gn'):
         return
     prefix = model.head_param_prefix
     for r, (combo_prefix, _) in enumerate(model.head_spec['combos']):

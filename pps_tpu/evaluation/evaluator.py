@@ -148,7 +148,8 @@ def evaluate(feat, ids, cams, marks, to_re_rank=False, pool_type='average',
 
             g_g_dist = dist_fn(feat[g_inds], feat[g_inds])  # shared below
             rr_map, rr_cmc = rerank_score(
-                dist_fn(feat[q_inds], feat[g_inds]),
+                q_g_dist if q_g_dist is not None
+                else dist_fn(feat[q_inds], feat[g_inds]),
                 dist_fn(feat[q_inds], feat[q_inds]),
                 g_g_dist, ids[q_inds], cams[q_inds])
         else:

@@ -158,7 +158,12 @@ def _rerank_stages(n, query_num, k1, k2, lambda_value):
             # exp(-od[i, j]), so overwrites are harmless (the dense row
             # is the de-duplicated union, reference's np.unique analog)
             row = jnp.zeros((n + 1,), jnp.float32).at[sidx].set(w)[:n]
-            return row / jnp.sum(row)
+            # an all-invalid row (possible when > k1 exact-duplicate
+            # feature rows tie-break a high-index sample out of every
+            # neighbor list) must stay all-zero like the numpy golden
+            # path's empty-set no-op, not become 0/0 = NaN
+            s = jnp.sum(row)
+            return row * jnp.where(s > 0, 1.0 / s, 0.0)
 
         return jax.lax.map(one_row, (idx, val, od),
                            batch_size=min(n, 1024))

@@ -4,14 +4,17 @@ Rebuild of /root/reference/detectron/modeling/FPN_reid.py:46-345 (the re-ID
 fork of FPN, not the detection one):
 
 * coarsest level: 1x1 conv (Xavier) + SpatialBN + ReLU on res5
-  (FPN_reid.py:161-174)
+  (FPN_reid.py:161-174); under FPN.USE_GN the reference uses ConvGN
+  instead — bias-free conv + GroupNorm with NO ReLU (FPN_reid.py:145-159;
+  the Relu at :173 belongs to the BN else-branch only)
 * top-down/lateral: lateral 1x1+BN+ReLU only when the backbone dim differs
-  from FPN.DIM (res2 at 256 passes through); the top-down branch is always
-  the previous output (dim already FPN.DIM); nearest 2x upsample is SKIPPED
-  between res5 and res4 when RES5_STRIDE=1 — both are 1/16
-  (FPN_reid.py:300-345); outputs are the raw lateral+topdown sums (the
-  post-hoc 3x3 convs are disabled upstream via `continue`,
-  FPN_reid.py:199-203)
+  from FPN.DIM (res2 at 256 passes through); laterals ALWAYS use
+  SpatialBN+ReLU — add_topdown_lateral_module has no GN branch
+  (FPN_reid.py:340-347; the USE_GN post-hoc 3x3 ConvGN is dead code behind
+  the `continue` at :199-203); the top-down branch is always the previous
+  output (dim already FPN.DIM); nearest 2x upsample is SKIPPED between
+  res5 and res4 when RES5_STRIDE=1 — both are 1/16 (FPN_reid.py:300-345);
+  outputs are the raw lateral+topdown sums
 * level set parameterized by REID.FPN_NUM in {2,3,4}, coarse->fine
   (FPN_reid.py:403-428)
 
@@ -56,7 +59,8 @@ def fpn_spec(cfg, depth=50):
         'spatial_scales': scales,
         'fpn_num': fpn_num,
         'zero_init_lateral': cfg.FPN.ZERO_INIT_LATERAL,
-        # ConvGN laterals (reference FPN_reid.py USE_GN branches)
+        # ConvGN on the COARSEST 1x1 only (reference FPN_reid.py:145-159);
+        # laterals always use SpatialBN+ReLU (FPN_reid.py:340-347)
         'use_gn': use_gn,
         'gn_groups': gn_groups,
         'gn_eps': cfg.GROUP_NORM.EPSILON,
@@ -74,11 +78,13 @@ def _xavier_conv(rng, c_in, c_out, zero=False):
 def _add_conv_bn(rngs, params, state, name, c_in, c_out, zero=False,
                  use_gn=False):
     params[name + '_w'] = _xavier_conv(next(rngs), c_in, c_out, zero=zero)
-    params[name + '_b'] = jnp.zeros((c_out,), jnp.float32)
-    if use_gn:  # C2 ConvGN naming: {name}_gn_s/_b, no running stats
+    if use_gn:
+        # C2 ConvGN: bias-free conv (no_conv_bias=1, detector.py:449-489)
+        # + SpatialGN params {name}_gn_s/_b, no running stats
         params[name + '_gn_s'] = jnp.ones((c_out,), jnp.float32)
         params[name + '_gn_b'] = jnp.zeros((c_out,), jnp.float32)
     else:
+        params[name + '_b'] = jnp.zeros((c_out,), jnp.float32)
         params[name + '_bn_s'] = jnp.ones((c_out,), jnp.float32)
         params[name + '_bn_b'] = jnp.zeros((c_out,), jnp.float32)
         state[name + '_bn_rm'] = jnp.zeros((c_out,), jnp.float32)
@@ -99,15 +105,16 @@ def init_fpn_params(rng, spec):
                  spec['dims'][0], dim, use_gn=spec.get('use_gn', False))
     for i in range(1, spec['fpn_num']):
         if spec['dims'][i] != dim:
+            # laterals are always Conv+SpatialBN+ReLU, even under
+            # FPN.USE_GN (reference FPN_reid.py:340-347)
             _add_conv_bn(rngs, params, state,
                          'fpn_inner_' + spec['blobs'][i] + '_lateral',
                          spec['dims'][i], dim,
-                         zero=spec['zero_init_lateral'],
-                         use_gn=spec.get('use_gn', False))
+                         zero=spec['zero_init_lateral'])
     return params, state
 
 
-def _conv1x1_bn_relu(params, state, updates, name, x, train, spec=None):
+def _conv1x1_bn_relu(params, state, updates, name, x, train):
     from pps_tpu.models.resnet import batch_norm
     w = params[name + '_w']
     y = jnp.einsum('bhwc,cd->bhwd', x.astype(jnp.float32), w,
@@ -116,24 +123,26 @@ def _conv1x1_bn_relu(params, state, updates, name, x, train, spec=None):
         # BN pre-folded into the conv (models/folding.py): bias only
         return jax.nn.relu(y + params[name + '_fb'])
     y = y + params[name + '_b']
-    if spec is not None and spec.get('use_gn'):
-        b, h, wd, c = y.shape
-        g = spec['gn_groups']
-        yg = y.reshape(b, h, wd, g, c // g)
-        mean = jnp.mean(yg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(yg - mean), axis=(1, 2, 4), keepdims=True)
-        yg = (yg - mean) * jax.lax.rsqrt(var + spec['gn_eps'])
-        y = yg.reshape(b, h, wd, c)
-        y = y * params[name + '_gn_s'] + params[name + '_gn_b']
-    else:
-        y, upd = batch_norm(
-            y, {'_s': params[name + '_bn_s'], '_b': params[name + '_bn_b']},
-            {'_rm': state[name + '_bn_rm'],
-             '_riv': state[name + '_bn_riv']},
-            '', train)
-        for k, v in upd.items():
-            updates[name + '_bn' + k] = v
+    y, upd = batch_norm(
+        y, {'_s': params[name + '_bn_s'], '_b': params[name + '_bn_b']},
+        {'_rm': state[name + '_bn_rm'],
+         '_riv': state[name + '_bn_riv']},
+        '', train)
+    for k, v in upd.items():
+        updates[name + '_bn' + k] = v
     return jax.nn.relu(y)
+
+
+def _conv1x1_gn(params, name, x, spec):
+    """Reference ConvGN: bias-free 1x1 conv + GroupNorm, NO ReLU
+    (FPN_reid.py:145-159 coarsest-level USE_GN branch;
+    detector.py:449-489)."""
+    from pps_tpu.models.resnet import group_norm
+    y = jnp.einsum('bhwc,cd->bhwd', x.astype(jnp.float32),
+                   params[name + '_w'],
+                   preferred_element_type=jnp.float32)
+    return group_norm(y, params[name + '_gn_s'], params[name + '_gn_b'],
+                      spec['gn_groups'], spec['gn_eps'])
 
 
 def _upsample2x(x):
@@ -151,17 +160,20 @@ def apply_fpn(params, state, stage_feats, spec, train=False):
     """
     updates = {}
     dim = spec['fpn_dim']
-    out = [_conv1x1_bn_relu(params, state, updates,
-                            'fpn_inner_' + spec['blobs'][0],
-                            stage_feats[spec['stages'][0]], train,
-                            spec=spec)]
+    coarse_name = 'fpn_inner_' + spec['blobs'][0]
+    coarse_in = stage_feats[spec['stages'][0]]
+    if spec.get('use_gn'):
+        out = [_conv1x1_gn(params, coarse_name, coarse_in, spec)]
+    else:
+        out = [_conv1x1_bn_relu(params, state, updates, coarse_name,
+                                coarse_in, train)]
     for i in range(1, spec['fpn_num']):
         lateral_in = stage_feats[spec['stages'][i]]
         if spec['dims'][i] != dim:
             lat = _conv1x1_bn_relu(
                 params, state, updates,
                 'fpn_inner_' + spec['blobs'][i] + '_lateral',
-                lateral_in, train, spec=spec)
+                lateral_in, train)
         else:
             lat = lateral_in.astype(jnp.float32)
         td = out[i - 1]

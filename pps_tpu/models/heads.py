@@ -113,11 +113,12 @@ def head_spec(cfg, spatial_scale, fpn_level=None):
         'dropout': 0.2 if cfg.REID.DROPOUT_FEATURE else 0.0,
         'normalize_feature': cfg.REID.NORMALIZE_FEATURE,
         'crm': cfg.REID.CRM,
-        # ConvGN head variant (reference reid_heads.py:61-74 USE_GN branch)
+        # ConvGN head variant (reference reid_heads.py:61-74 USE_GN branch).
+        # NOTE: MODEL.USE_BN does NOT reach the head — the reference head
+        # calls model.SpatialBN directly (reid_heads.py:58), not the
+        # USE_BN-gated AffineChannel helper (detector.py:82-109), so the
+        # non-GN head always carries real batch norm with running stats.
         'use_gn': cfg.MODEL.USE_GN,
-        # MODEL.USE_BN=False: AffineChannel head norm (y*s+b, no stats;
-        # reference detector.py:82-109 — the same helper serves the head)
-        'use_affine': not bool(cfg.MODEL.USE_BN),
         'gn_groups': (_get_group_gn(cfg, cfg.REID.BPM_DIM)
                       if cfg.MODEL.USE_GN else 0),
         'gn_eps': cfg.GROUP_NORM.EPSILON,
@@ -226,9 +227,8 @@ def init_head_params(rng, spec, dim_in, param_prefix='reid'):
     else:
         params[param_prefix + '_bn_s'] = jnp.ones((r, d), jnp.float32)
         params[param_prefix + '_bn_b'] = jnp.zeros((r, d), jnp.float32)
-        if not spec.get('use_affine'):
-            state[param_prefix + '_bn_rm'] = jnp.zeros((r, d), jnp.float32)
-            state[param_prefix + '_bn_riv'] = jnp.ones((r, d), jnp.float32)
+        state[param_prefix + '_bn_rm'] = jnp.zeros((r, d), jnp.float32)
+        state[param_prefix + '_bn_riv'] = jnp.ones((r, d), jnp.float32)
     return params, state
 
 
@@ -263,12 +263,8 @@ def apply_head(params, state, combo_feats, spec, train=False,
                         updates)
 
     # SpatialBN on [B, D, 1, 1] per combo: batch stats over axis 0 only
+    # (always real BN — reid_heads.py:58 bypasses the USE_BN gate)
     s, b = params[p + '_bn_s'], params[p + '_bn_b']
-    if spec.get('use_affine'):
-        # AffineChannel: no normalization, no stats
-        x = x * s[None] + b[None]
-        return _head_fc(params, jax.nn.relu(x), spec, train, dropout_rng,
-                        p, {})
     if train:
         mean = jnp.mean(x, axis=0)
         var = jnp.maximum(jnp.mean(jnp.square(x), axis=0) - jnp.square(mean),

@@ -159,6 +159,26 @@ def test_rerank_jax_tiny_set_and_large_k2(rng_np):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_rerank_jax_empty_reciprocal_set_stays_finite(rng_np):
+    """Regression: with more than k1+1 exact-duplicate feature rows, the
+    index tie-break can leave a high-index duplicate out of every
+    neighbor's top-k1 list, so its k-reciprocal set is EMPTY.  The numpy
+    golden path leaves that V row all-zero (empty-assignment no-op); the
+    device path used to emit 0/0 = NaN and poison the whole blend."""
+    feat, _ = _clustered_features(rng_np, 6, 5, dim=16, noise=0.3)
+    # 10 identical rows > k1+1 = 6 for k1=5; put them across the q/g split
+    feat[2:12] = feat[2]
+    nq = 8
+    q, g = feat[:nq], feat[nq:]
+    qg = metrics.compute_dist(q, g)
+    qq = metrics.compute_dist(q, q)
+    gg = metrics.compute_dist(g, g)
+    want = re_ranking(qg, qq, gg, k1=5, k2=3)
+    got = np.asarray(rerank_distmat_jax(qg, qq, gg, k1=5, k2=3))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_parse_im_name():
     assert parse_im_name('00000042_0003_00000007.jpg', 'id') == 42
     assert parse_im_name('00000042_0003_00000007.jpg', 'cam') == 3

@@ -110,20 +110,40 @@ def test_fpn_train_and_test_paths():
     assert float(jnp.max(jnp.abs(grads['conv1_w']))) > 0
 
 
-def test_fpn_gn_laterals():
-    """FPN.USE_GN replaces lateral BN with GroupNorm (reference FPN_reid
-    ConvGN branches)."""
+def test_fpn_gn_coarsest_only():
+    """FPN.USE_GN swaps only the COARSEST 1x1 to ConvGN — bias-free conv
+    + GroupNorm with NO ReLU (reference FPN_reid.py:145-159); laterals
+    always stay Conv+SpatialBN+ReLU (FPN_reid.py:340-347: the lateral
+    module has no GN branch)."""
     c = _fpn_cfg(fpn_num=3)
     c.FPN.USE_GN = True
     c.GROUP_NORM.NUM_GROUPS = 8
     model = build_model(c)
     params, state = model.init(jax.random.PRNGKey(0))
+    # coarsest: ConvGN naming, no conv bias, no BN anything
     assert 'fpn_inner_res5_2_sum_gn_s' in params
+    assert 'fpn_inner_res5_2_sum_b' not in params
     assert 'fpn_inner_res5_2_sum_bn_s' not in params
-    assert not any(k.startswith('fpn') and k.endswith('_rm') for k in state)
+    assert 'fpn_inner_res5_2_sum_bn_rm' not in state
+    # laterals: real SpatialBN with running stats, never GN
+    assert 'fpn_inner_res4_5_sum_lateral_bn_s' in params
+    assert 'fpn_inner_res4_5_sum_lateral_bn_rm' in state
+    assert 'fpn_inner_res4_5_sum_lateral_gn_s' not in params
+
+    from pps_tpu.models import resnet as resnet_lib
     x = jnp.asarray(np.random.RandomState(0).randn(2, 192, 64, 3),
                     jnp.float32)
     emb = model.extract_features(params, state, x)
     assert emb.shape == (2, model.embedding_dim)
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(emb, axis=1)), 1.0, rtol=1e-5)
+
+    # the GN coarsest level must propagate negatives (no ReLU): with
+    # zero-mean GN output and identity scale this is guaranteed for any
+    # non-constant input
+    _, stages, _ = resnet_lib.apply_resnet(params, state, x,
+                                           model.resnet_spec, train=False,
+                                           return_stages=True)
+    pyramid, _ = fpn_lib.apply_fpn(params, state, stages, model.fpn_spec,
+                                   train=False)
+    assert float(jnp.min(pyramid[0])) < 0.0

@@ -108,17 +108,19 @@ def test_gn_body_builds_and_extracts():
 
 
 def test_affine_channel_body(tmp_path):
-    """MODEL.USE_BN=False -> AffineChannel everywhere BN would be: no
-    running stats anywhere, y = x*s + b exactly (reference
-    detector.py:82-109), trainable s/b, and eval folding absorbs s into
-    the conv and leaves fb == b."""
+    """MODEL.USE_BN=False -> AffineChannel in the BODY only: no body
+    running stats, y = x*s + b exactly (reference detector.py:82-109),
+    trainable s/b, eval folding absorbs s into the conv and leaves
+    fb == b.  The HEAD keeps real SpatialBN with running stats — the
+    reference head calls model.SpatialBN directly (reid_heads.py:58),
+    bypassing the USE_BN gate."""
     c = _small('pps_heads.add_pps_part_head', 3, 8,
                extra=['MODEL.USE_BN', 'False',
                       'REID.MAX_AVE_FEATURE', 'True'])
     model = build_model(c)
     params, state = model.init(jax.random.PRNGKey(0))
-    assert not any(k.endswith(('_rm', '_riv')) for k in state), (
-        [k for k in state if k.endswith(('_rm', '_riv'))])
+    stat_keys = [k for k in state if k.endswith(('_rm', '_riv'))]
+    assert sorted(stat_keys) == ['pps_bn_riv', 'pps_bn_rm'], stat_keys
     assert 'res2_0_branch2a_bn_s' in params  # same names as SpatialBN
     assert 'pps_bn_s' in params
 
@@ -159,15 +161,18 @@ def test_affine_channel_body(tmp_path):
     np.testing.assert_allclose(np.asarray(emb_folded), np.asarray(emb),
                                rtol=2e-3, atol=2e-3)
 
-    # reference-pkl interop: affine checkpoints carry per-combo _bn_s/_b
-    # but NO running stats, and round-trip bitwise
+    # reference-pkl interop: affine-body checkpoints carry NO body
+    # running stats but DO carry per-combo head SpatialBN stats
+    # (reid_heads.py:58), and round-trip bitwise
     import pickle
     from pps_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
     path = str(tmp_path / 'affine.pkl')
     save_checkpoint(path, model, params, state, cfg=c)
     blobs = pickle.load(open(path, 'rb'))['blobs']
-    assert not any(k.endswith(('_rm', '_riv')) for k in blobs)
+    assert not any(k.startswith(('res', 'conv1')) and
+                   k.endswith(('_rm', '_riv')) for k in blobs)
     assert 'pps0_bn_s' in blobs
+    assert 'pps0_bn_rm' in blobs and 'pps0_bn_riv' in blobs
     p2, s2, _ = load_checkpoint(path, model, params, state)
     for k in params:
         np.testing.assert_array_equal(np.asarray(p2[k]),
