@@ -100,9 +100,11 @@ def init_fpn_params(rng, spec):
     rngs = rng_iter(rng)
     params, state = {}, {}
     dim = spec['fpn_dim']
-    # coarsest 1x1 (dims[0]=2048 != fpn_dim always)
-    _add_conv_bn(rngs, params, state, 'fpn_inner_' + spec['blobs'][0],
-                 spec['dims'][0], dim, use_gn=spec.get('use_gn', False))
+    # coarsest 1x1 — unless dims[0] == FPN.DIM, where the reference
+    # passes res5 straight through with no conv (FPN_reid.py:143-144)
+    if spec['dims'][0] != dim:
+        _add_conv_bn(rngs, params, state, 'fpn_inner_' + spec['blobs'][0],
+                     spec['dims'][0], dim, use_gn=spec.get('use_gn', False))
     for i in range(1, spec['fpn_num']):
         if spec['dims'][i] != dim:
             # laterals are always Conv+SpatialBN+ReLU, even under
@@ -162,7 +164,10 @@ def apply_fpn(params, state, stage_feats, spec, train=False):
     dim = spec['fpn_dim']
     coarse_name = 'fpn_inner_' + spec['blobs'][0]
     coarse_in = stage_feats[spec['stages'][0]]
-    if spec.get('use_gn'):
+    if spec['dims'][0] == dim:
+        # reference pass-through: no conv at all (FPN_reid.py:143-144)
+        out = [coarse_in.astype(jnp.float32)]
+    elif spec.get('use_gn'):
         out = [_conv1x1_gn(params, coarse_name, coarse_in, spec)]
     else:
         out = [_conv1x1_bn_relu(params, state, updates, coarse_name,

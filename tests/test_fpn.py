@@ -147,3 +147,28 @@ def test_fpn_gn_coarsest_only():
     pyramid, _ = fpn_lib.apply_fpn(params, state, stages, model.fpn_spec,
                                    train=False)
     assert float(jnp.min(pyramid[0])) < 0.0
+
+
+def test_fpn_coarsest_passthrough_when_dim_matches():
+    """When the coarsest backbone dim already equals FPN.DIM the
+    reference adds NO conv at all — res5 is passed straight through
+    (FPN_reid.py:143-144)."""
+    c = _fpn_cfg(fpn_num=2)
+    c.FPN.DIM = 2048  # == res5 dim on ResNet-50
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert not any(k.startswith('fpn_inner_res5_2_sum')
+                   and 'lateral' not in k for k in params)
+    # the res4 lateral (1024 != 2048) still exists
+    assert 'fpn_inner_res4_5_sum_lateral_w' in params
+
+    from pps_tpu.models import resnet as resnet_lib
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 192, 64, 3),
+                    jnp.float32)
+    _, stages, _ = resnet_lib.apply_resnet(params, state, x,
+                                           model.resnet_spec, train=False,
+                                           return_stages=True)
+    pyramid, _ = fpn_lib.apply_fpn(params, state, stages, model.fpn_spec,
+                                   train=False)
+    np.testing.assert_array_equal(np.asarray(pyramid[0]),
+                                  np.asarray(stages['res5']))
