@@ -360,6 +360,7 @@ class RetrievalIndex:
         else:
             self._host_g = feats
             self._host_s = None
+        self._ivf = None
         # re-entrant: search_reranked/search(return_paths=True) hold it
         # across the scan AND the row/path resolution so a concurrent
         # remove() (which renumbers every row) cannot interleave
@@ -380,11 +381,136 @@ class RetrievalIndex:
             self._g, self._s, self._n = shard_gallery(
                 self._host_g, self.mesh, int8=self.int8,
                 g_scale=self._host_s)
+        elif self._ivf is not None:
+            self._place_ivf()
         else:
             self._g = jax.device_put(self._host_g)
             self._s = (None if self._host_s is None
                        else jax.device_put(self._host_s))
             self._n = len(self.paths)
+
+    # ------------------------------------------------------------------
+    # IVF (inverted-file) approximate search — `ops/ivf` integration.
+    #
+    # Device layout while enabled: rows [0, n_sorted) are the host
+    # gallery permuted cell-by-cell (`perm` maps device position back to
+    # the original row id); rows [n_sorted, N) are the SPILL — appended
+    # since the last (re)build, scanned exactly and merged, and folded
+    # into the sorted layout once it outgrows ``spill_limit``.  The host
+    # mirror stays in original row order, so remove/save/rerank logic is
+    # untouched.
+    # ------------------------------------------------------------------
+
+    def _place_ivf(self):
+        """(Re)build the cell-sorted device placement from per-row cell
+        assignments (folds any spill — every row has an assignment)."""
+        import jax
+        from pps_tpu.ops.ivf import build_ivf
+        ivf = self._ivf
+        perm, starts = build_ivf(ivf['assign'], ivf['nlist'])
+        ivf['perm'], ivf['starts'] = perm, starts
+        # one-time transfer: starts rides into every probe dispatch, and
+        # the serving host->device link is slow (~45 MB/s tunnel)
+        ivf['starts_dev'] = jax.device_put(starts)
+        ivf['spill_ids'] = np.zeros((0,), np.int32)
+        self._g = jax.device_put(self._host_g[perm])
+        self._s = (None if self._host_s is None
+                   else jax.device_put(self._host_s[perm]))
+        self._n = len(self.paths)
+
+    def enable_ivf(self, nlist=None, nprobe=8, budget=None, iters=10,
+                   seed=0, sample=262144, spill_limit=None):
+        """Cluster the gallery and switch ``search`` to IVF probing.
+
+        Cuts per-query gallery bytes by ~nlist/nprobe (the scan is
+        HBM-bandwidth-bound, so bytes ARE latency) at a small recall
+        cost; re-ID embeddings cluster by identity, so recall stays
+        near 1 at nprobe/nlist ~ 1% (tests/test_ivf.py).  Single-device
+        placement only: the sharded scan already splits bytes across
+        chips, and combining both is not supported.
+
+        nlist: cells (default `default_nlist`, ~4*sqrt(N)).
+        nprobe: cells scanned per query.  budget: static candidate-row
+        cap per query (default ~4x the expected rows at this nprobe).
+        spill_limit: appended rows tolerated before an automatic
+        re-sort (default max(4096, N/10)).
+        """
+        from pps_tpu.ops import ivf as ivf_ops
+        with self._lock:
+            assert not self.shard, \
+                'IVF is a single-device placement (sharded scan already ' \
+                'splits gallery bytes across chips)'
+            ng = len(self.paths)
+            nlist = int(nlist) if nlist else ivf_ops.default_nlist(ng)
+            cent = ivf_ops.kmeans(self._host_g, nlist, iters=iters,
+                                  seed=seed, g_scale=self._host_s,
+                                  sample=sample)
+            nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
+            assign = ivf_ops.assign_clusters(self._host_g, cent,
+                                             g_scale=self._host_s)
+            if budget is None:
+                budget = min(ng, max(2048, 4 * nprobe * max(ng, 1)
+                                     // max(nlist, 1)))
+            self._ivf = {
+                'cent': cent,
+                'assign': np.asarray(assign, np.int32),
+                'nlist': nlist,
+                'nprobe': int(nprobe),
+                'budget': int(budget),
+                'spill_limit': int(spill_limit if spill_limit is not None
+                                   else max(4096, ng // 10)),
+            }
+            self._place_ivf()
+        logger.info('IVF enabled: %d cells, nprobe=%d, budget=%d',
+                    nlist, self._ivf['nprobe'], self._ivf['budget'])
+
+    def disable_ivf(self):
+        """Back to the exact streaming scan (original row order)."""
+        with self._lock:
+            self._ivf = None
+            self._place()
+
+    @property
+    def ivf_enabled(self):
+        return self._ivf is not None
+
+    def _to_orig(self, pos):
+        """Device-layout positions -> original row ids (-1 passthrough).
+        Identity when IVF is off (device order IS original order)."""
+        if self._ivf is None:
+            return pos
+        mapping = np.concatenate([self._ivf['perm'],
+                                  self._ivf['spill_ids']])
+        safe = np.clip(pos, 0, max(len(mapping) - 1, 0))
+        return np.where(pos >= 0, mapping[safe], -1)
+
+    def _search_ivf(self, q, k, chunk):
+        """IVF probe over the sorted region + exact scan of the spill
+        tail, merged on host.  Returns (dists, original row ids)."""
+        from pps_tpu.ops.ivf import ivf_topk
+        from pps_tpu.ops.pallas.topk import streaming_topk
+        ivf = self._ivf
+        n_sorted = len(ivf['perm'])
+        n_spill = len(ivf['spill_ids'])
+        d, pos = ivf_topk(q, self._g, ivf['cent'], ivf['starts_dev'],
+                          k=min(k, max(n_sorted, 1)),
+                          nprobe=ivf['nprobe'], budget=ivf['budget'],
+                          g_scale=self._s)
+        d, pos = np.asarray(d), np.asarray(pos)
+        safe = np.clip(pos, 0, max(n_sorted - 1, 0))
+        ids = np.where(pos >= 0, ivf['perm'][safe], -1)
+        if n_spill:
+            sp_d, sp_p = streaming_topk(
+                q, self._g[n_sorted:], k=min(k, n_spill), chunk=chunk,
+                g_scale=None if self._s is None else self._s[n_sorted:])
+            sp_d, sp_p = np.asarray(sp_d), np.asarray(sp_p)
+            sp_ids = np.where(sp_p >= 0, ivf['spill_ids'][
+                np.clip(sp_p, 0, n_spill - 1)], -1)
+            d = np.concatenate([d, sp_d], axis=1)
+            ids = np.concatenate([ids, sp_ids], axis=1)
+        sel = np.argsort(d, axis=1, kind='stable')[:, :k]
+        return (np.take_along_axis(d, sel, axis=1),
+                np.take_along_axis(ids, sel, axis=1))
 
     def _paths_of(self, idxs):
         """[[path or None per column] per query] — call under _lock."""
@@ -392,9 +518,14 @@ class RetrievalIndex:
                  else None for j in row] for row in idxs]
 
     def search(self, q_feats, k, recall_target=None, chunk=4096,
-               return_paths=False):
+               return_paths=False, exact=False):
         """Returns (dists [Nq, k'], indices [Nq, k']) with
         k' = min(k, len(index)); indices index into ``self.paths``.
+
+        With IVF enabled (``enable_ivf``) the scan probes only the
+        nearest cells (approximate; ``recall_target`` is ignored — cell
+        selection is the approximation knob); ``exact=True`` forces the
+        full streaming scan regardless.
 
         return_paths=True additionally returns the matched paths
         resolved UNDER THE INDEX LOCK — the only race-safe way to map
@@ -413,11 +544,15 @@ class RetrievalIndex:
                                     chunk=chunk,
                                     recall_target=recall_target,
                                     g_scale=self._s, mesh=self.mesh)
+                d, i = np.asarray(d), np.asarray(i)
+            elif self._ivf is not None and not exact:
+                d, i = self._search_ivf(q, k, chunk)
             else:
                 d, i = streaming_topk(q, self._g, k=k, chunk=chunk,
                                       recall_target=recall_target,
                                       g_scale=self._s)
-            d, i = np.asarray(d), np.asarray(i)
+                # device layout is cell-sorted under IVF: map back
+                d, i = np.asarray(d), self._to_orig(np.asarray(i))
             if return_paths:
                 return d, i, self._paths_of(i)
             return d, i
@@ -512,6 +647,11 @@ class RetrievalIndex:
             if self._host_s is not None:
                 self._host_s = np.ascontiguousarray(self._host_s[keep])
             self.paths = [p for p, k in zip(self.paths, keep) if k]
+            if self._ivf is not None:
+                # assignments survive removal (centroids unchanged);
+                # _place -> _place_ivf re-sorts the kept rows
+                self._ivf['assign'] = np.ascontiguousarray(
+                    self._ivf['assign'][keep])
             self._place()
         logger.info('removed %d rows; gallery now %d', removed,
                     len(self.paths))
@@ -530,6 +670,15 @@ class RetrievalIndex:
                        'int8': np.array(self.int8)}
             if self._host_s is not None:
                 payload['scale'] = self._host_s
+            if self._ivf is not None:
+                # centroids + per-row assignments make the clustering
+                # portable: load re-sorts without re-running k-means
+                payload['ivf_cent'] = np.asarray(self._ivf['cent'],
+                                                 np.float32)
+                payload['ivf_assign'] = self._ivf['assign']
+                payload['ivf_params'] = np.array(
+                    [self._ivf['nprobe'], self._ivf['budget'],
+                     self._ivf['spill_limit']], np.int64)
             tmp = path + '.tmp.npz'
             with open(tmp, 'wb') as f:
                 np.savez(f, **payload)
@@ -562,6 +711,23 @@ class RetrievalIndex:
         assert self._host_g.ndim == 2 and \
             self._host_g.shape[0] == len(self.paths), \
             (self._host_g.shape, len(self.paths))
+        self._ivf = None
+        if 'ivf_cent' in data and not self.shard:
+            import jax
+            cent = np.asarray(data['ivf_cent'], np.float32)
+            nprobe, budget, spill_limit = (
+                int(v) for v in data['ivf_params'])
+            self._ivf = {
+                'cent': jax.device_put(cent),
+                'assign': np.ascontiguousarray(data['ivf_assign'],
+                                               np.int32),
+                'nlist': int(cent.shape[0]),
+                'nprobe': nprobe, 'budget': budget,
+                'spill_limit': spill_limit,
+            }
+        elif 'ivf_cent' in data:
+            logger.warning('stored IVF index ignored under shard=True '
+                           '(IVF is a single-device placement)')
         self._lock = threading.RLock()
         self._place()
         logger.info('loaded %d x %d index (%s) from %s', len(self.paths),
@@ -586,6 +752,7 @@ class RetrievalIndex:
             feats = feats[None]
         assert feats.shape[0] == len(paths) and feats.shape[1] == self.dim
         with self._lock:
+            n_before = len(self.paths)
             if self.int8:
                 g8, sc = quantize_gallery(feats)
                 new_g = np.asarray(g8)
@@ -605,3 +772,21 @@ class RetrievalIndex:
                     self._s = jnp.concatenate(
                         [self._s, jax.device_put(new_s)])
                 self._n = len(self.paths)
+                if self._ivf is not None:
+                    # new rows join the spill tail (scanned exactly and
+                    # merged); fold into the sorted layout once the tail
+                    # outgrows spill_limit
+                    from pps_tpu.ops.ivf import assign_clusters
+                    ivf = self._ivf
+                    new_a = assign_clusters(new_g, ivf['cent'],
+                                            g_scale=new_s)
+                    ivf['assign'] = np.concatenate(
+                        [ivf['assign'], np.asarray(new_a, np.int32)])
+                    ivf['spill_ids'] = np.concatenate(
+                        [ivf['spill_ids'],
+                         np.arange(n_before, len(self.paths),
+                                   dtype=np.int32)])
+                    if len(ivf['spill_ids']) > ivf['spill_limit']:
+                        logger.info('IVF spill at %d rows; re-sorting',
+                                    len(ivf['spill_ids']))
+                        self._place_ivf()

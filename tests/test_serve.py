@@ -73,7 +73,7 @@ def test_serve_daemon_e2e(tmp_path):
          '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
          '--port', '0', '--int8-gallery', '--topk', '3',
          '--ready-file', ready, '--save-index', idx_file,
-         '--max-body-mb', '1'],
+         '--max-body-mb', '1', '--ivf', '--ivf-nprobe', '4'],
         stdout=log, stderr=log, cwd=ROOT, env=env)
     try:
         deadline = time.time() + 480
@@ -90,6 +90,9 @@ def test_serve_daemon_e2e(tmp_path):
         assert h['status'] == 'ok'
         assert h['gallery_size'] == n_gallery
         assert h['int8'] is True and h['sharded'] is False
+        # daemon 1 clusters the gallery: every search below rides the
+        # IVF probe + spill-merge path
+        assert h['ivf'] is True
 
         # search with raw image bytes: a gallery image finds itself
         query = gallery_imgs[0]
@@ -337,8 +340,11 @@ def test_serve_daemon_e2e(tmp_path):
         # the post-remove re-add persisted via the graceful-shutdown save
         assert h['gallery_size'] == n_gallery + 1
         assert h['int8'] is True  # precision travels with the file
-        # daemon 2 row-shards the loaded index over the 8-device mesh
+        # daemon 2 row-shards the loaded index over the 8-device mesh;
+        # the stored IVF is dropped under sharding (single-device
+        # placement) with a warning, not an error
         assert h['sharded'] is True
+        assert h['ivf'] is False
 
         with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:
             raw = f.read()

@@ -236,3 +236,116 @@ def test_remove_rows(tmp_path, int8):
     # emptying the index is refused
     with pytest.raises(ValueError):
         loaded.remove(loaded.paths)
+
+
+# ---------------------------------------------------------------- IVF ----
+
+def _clustered_data(n_ids=20, per=15, d=32, seed=7):
+    rng = np.random.RandomState(seed)
+    ids = rng.randn(n_ids, d).astype(np.float32)
+    g = (np.repeat(ids, per, axis=0) +
+         0.05 * rng.randn(n_ids * per, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = ids[:6] + 0.05 * rng.randn(6, d)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    return q, g
+
+
+def test_ivf_search_recall_and_exact_override():
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    d_ref, i_ref = idx.search(q, k=10)
+    idx.enable_ivf(nlist=20, nprobe=4, seed=0)
+    assert idx.ivf_enabled
+    d, i = idx.search(q, k=10)
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(i, i_ref)])
+    assert recall >= 0.95, recall
+    # exact=True forces the full scan and must reproduce the exact
+    # neighbor ids even though the device layout is cell-sorted
+    d_e, i_e = idx.search(q, k=10, exact=True)
+    np.testing.assert_array_equal(i_e, i_ref)
+    np.testing.assert_allclose(d_e, d_ref, atol=1e-4)
+    idx.disable_ivf()
+    d2, i2 = idx.search(q, k=10)
+    np.testing.assert_array_equal(i2, i_ref)
+
+
+def test_ivf_full_probe_matches_exact():
+    q, g = _clustered_data(n_ids=8, per=10)
+    idx = RetrievalIndex(g, list(range(len(g))), int8=True)
+    d_ref, i_ref = idx.search(q, k=5)
+    idx.enable_ivf(nlist=8, nprobe=8, budget=len(g), seed=1)
+    d, i = idx.search(q, k=5)
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_allclose(d, d_ref, atol=1e-4)
+
+
+def test_ivf_add_spill_then_fold():
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    idx.enable_ivf(nlist=20, nprobe=20, budget=512, seed=0,
+                   spill_limit=8)
+    # exact future-query rows land in the spill tail and must be found
+    idx.add(q[:4], ['n%d' % j for j in range(4)])
+    assert len(idx._ivf['spill_ids']) == 4
+    d, i = idx.search(q[:4], k=1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(len(g), len(g) + 4))
+    assert np.all(d[:, 0] < 1e-3)
+    # crossing spill_limit folds the tail into the sorted layout
+    idx.add(q[4:6] + 0.0, ['m0', 'm1'])
+    idx.add(np.tile(q[5], (7, 1)), ['t%d' % j for j in range(7)])
+    assert len(idx._ivf['spill_ids']) == 0
+    d, i = idx.search(q[:4], k=1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(len(g), len(g) + 4))
+
+
+def test_ivf_remove_keeps_clustering():
+    q, g = _clustered_data()
+    paths = ['p%d' % j for j in range(len(g))]
+    idx = RetrievalIndex(g, paths, int8=False)
+    idx.enable_ivf(nlist=20, nprobe=20, budget=512, seed=0)
+    d0, i0 = idx.search(q, k=3)
+    # drop the current best match of query 0; next search must renumber
+    best = int(i0[0, 0])
+    idx.remove([paths[best]])
+    assert idx.ivf_enabled and len(idx) == len(g) - 1
+    d1, i1, p1 = idx.search(q, k=3, return_paths=True)
+    assert paths[best] not in {p for row in p1 for p in row}
+
+
+def test_ivf_save_load_roundtrip(tmp_path):
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=True)
+    idx.enable_ivf(nlist=20, nprobe=4, seed=0)
+    d0, i0 = idx.search(q, k=5)
+    f = str(tmp_path / 'ivf_index.npz')
+    idx.save(f)
+    idx2 = RetrievalIndex.load(f)
+    assert idx2.ivf_enabled
+    assert idx2._ivf['nprobe'] == 4
+    d1, i1 = idx2.search(q, k=5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
+
+
+def test_ivf_rejects_sharded():
+    q, g = _data(ng=64)
+    mesh = Mesh(np.array(jax.devices()), ('all',))
+    idx = RetrievalIndex(g, list(range(64)), int8=False, shard=True,
+                         mesh=mesh)
+    with pytest.raises(AssertionError):
+        idx.enable_ivf(nlist=8)
+
+
+def test_ivf_reranked_shortlist_flows_through():
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    idx.enable_ivf(nlist=20, nprobe=20, budget=512, seed=0)
+    # full-probe IVF shortlist == exact shortlist -> rerank output must
+    # match the non-IVF reranked search
+    d_a, i_a = idx.search_reranked(q, k=5, shortlist=30, engine='numpy')
+    idx.disable_ivf()
+    d_b, i_b = idx.search_reranked(q, k=5, shortlist=30, engine='numpy')
+    np.testing.assert_array_equal(i_a, i_b)
+    np.testing.assert_allclose(d_a, d_b, atol=1e-4)

@@ -39,6 +39,13 @@ def main():
                          'of the top-k shortlist (a HOST stage after the '
                          'device scan: gather+dequant k rows, euclidean, '
                          're_ranking) and report the combined latency')
+    ap.add_argument('--ivf', action='store_true',
+                    help='also benchmark the IVF index (ops/ivf): build '
+                         'time, probe-scan latency vs the exact scan, '
+                         'recall@k.  Uses a CLUSTERED synthetic gallery '
+                         '(the re-ID regime IVF exploits) for both paths '
+                         'so the comparison is honest.')
+    ap.add_argument('--ivf-nprobe', type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -67,6 +74,20 @@ def main():
         gal = rng.randn(ng, d).astype(np.float32)
         gal /= np.linalg.norm(gal, axis=1, keepdims=True)
         gd, sd = jax.device_put(gal), None
+    elif args.ivf:
+        # clustered identities (~100 rows/id), generated chunkwise in
+        # int8 to keep host memory at the gallery's own 4 GB footprint
+        n_ids = max(1, ng // 100)
+        centers = rng.randint(-100, 101, size=(n_ids, d)).astype(np.int8)
+        g8 = np.empty((ng, d), np.int8)
+        owner = rng.randint(n_ids, size=ng)
+        for s in range(0, ng, 65536):
+            e = min(s + 65536, ng)
+            noise = rng.randint(-6, 7, size=(e - s, d))
+            g8[s:e] = np.clip(centers[owner[s:e]].astype(np.int16)
+                              + noise, -127, 127).astype(np.int8)
+        sc = np.full((ng,), 1.0 / (127.0 * np.sqrt(d)), np.float32)
+        gd, sd = jax.device_put(g8), jax.device_put(sc)
     else:
         g8 = rng.randint(-127, 128, size=(ng, d)).astype(np.int8)
         sc = np.full((ng,), 1.0 / (127.0 * np.sqrt(d)), np.float32)
@@ -154,6 +175,97 @@ def main():
         out['rerank_engine'] = ('native' if native.available()
                                 else 'numpy')
         out['reranked_total_ms'] = round(lat * 1e3 + host_ms, 2)
+
+    if args.ivf:
+        assert not args.f32_gallery, '--ivf bench assumes the int8 path'
+        from pps_tpu.ops import ivf as ivf_ops
+        nlist = ivf_ops.default_nlist(ng)
+        t0 = time.perf_counter()
+        # kmeans samples on the HOST copy (slicing a device array back
+        # through the ~45 MB/s tunnel would dwarf the clustering itself)
+        cent = ivf_ops.kmeans(g8, nlist, iters=10, seed=0, g_scale=sc,
+                              sample=131072)
+        jax.block_until_ready(cent)
+        t_kmeans = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # ... while assignment reads the already-resident device gallery
+        assign = ivf_ops.assign_clusters(gd, cent, g_scale=sd)
+        perm, starts = ivf_ops.build_ivf(assign, nlist)
+        t_assign = time.perf_counter() - t0
+
+        # recall queries near identity centers (the serving regime)
+        qn = 64
+        qv = (g8[rng.randint(ng, size=qn)].astype(np.float32)
+              + rng.randn(qn, d) * 2.0) * float(sc[0])
+        qd = jax.device_put(qv.astype(np.float32))
+        _, ei = streaming_topk(qd, gd, k=args.topk, chunk=args.chunk,
+                               g_scale=sd)
+        ei = np.asarray(ei)
+
+        # cell-sort ON DEVICE (an HBM gather, not a 4 GB host round-trip)
+        perm_dev = jax.device_put(perm)
+        take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+        gd_sorted = take(gd, perm_dev)
+        sd_sorted = take(sd, perm_dev)
+        jax.block_until_ready(gd_sorted)
+        del gd  # free the unsorted 4 GB before the probe chains
+        starts_dev = jax.device_put(starts)
+        budget = max(4096, 4 * args.ivf_nprobe * (ng // max(nlist, 1)))
+
+        _, pos = ivf_ops.ivf_topk(qd, gd_sorted, cent, starts_dev,
+                                  k=args.topk, nprobe=args.ivf_nprobe,
+                                  budget=budget, chunk=1024,
+                                  g_scale=sd_sorted)
+        got = perm[np.clip(np.asarray(pos), 0, ng - 1)]
+        recall = float(np.mean([
+            len(set(got[r].tolist()) & set(ei[r].tolist())) / ei.shape[1]
+            for r in range(qn)]))
+
+        q1 = jax.device_put(qv[:1].astype(np.float32))
+
+        @partial(jax.jit, static_argnums=(3,))
+        def exact_chain(q0, gal, gsc, n):
+            def body(q, _):
+                _, idx = streaming_topk(q, gal, k=args.topk,
+                                        chunk=args.chunk, g_scale=gsc)
+                return q + jnp.sum(idx).astype(jnp.float32) * 1e-30, None
+            q, _ = jax.lax.scan(body, q0, None, length=n)
+            return q
+
+        @partial(jax.jit, static_argnums=(5,))
+        def ivf_chain(q0, gal, gsc, cents, st, n):
+            def body(q, _):
+                # depend on positions, not distances: unfilled slots are
+                # +inf and would poison the carry
+                _, p = ivf_ops.ivf_topk(q, gal, cents, st, k=args.topk,
+                                        nprobe=args.ivf_nprobe,
+                                        budget=budget, g_scale=gsc)
+                return q + jnp.sum(p).astype(jnp.float32) * 1e-30, None
+            q, _ = jax.lax.scan(body, q0, None, length=n)
+            return q
+
+        def run_scan(fn, *fargs):
+            def one(n):
+                t0 = time.perf_counter()
+                float(jnp.sum(fn(q1, *fargs, n)))
+                return time.perf_counter() - t0
+            for n in (2, 2 + args.iters):
+                one(n)
+            return (one(2 + args.iters) - one(2)) / args.iters
+
+        exact_ms = run_scan(exact_chain, gd_sorted, sd_sorted) * 1e3
+        ivf_ms = run_scan(ivf_chain, gd_sorted, sd_sorted, cent,
+                          starts_dev) * 1e3
+
+        out['ivf'] = {
+            'nlist': nlist, 'nprobe': args.ivf_nprobe, 'budget': budget,
+            'build_kmeans_s': round(t_kmeans, 2),
+            'build_assign_s': round(t_assign, 2),
+            'recall_at_%d' % args.topk: round(recall, 4),
+            'exact_scan_ms': round(exact_ms, 3),
+            'ivf_scan_ms': round(ivf_ms, 3),
+            'scan_speedup': round(exact_ms / max(ivf_ms, 1e-9), 1),
+        }
 
     print(json.dumps(out))
 

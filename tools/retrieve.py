@@ -64,6 +64,13 @@ def main():
                         help='persist the placed index for later runs')
     parser.add_argument('--vis', default=None,
                         help='write rank-list grids to this directory')
+    parser.add_argument('--ivf', action='store_true',
+                        help='cluster the gallery and probe only the '
+                             'nearest cells (sub-linear scan; persisted '
+                             'by --save-index). Incompatible with '
+                             '--shard-gallery.')
+    parser.add_argument('--ivf-nlist', type=int, default=None)
+    parser.add_argument('--ivf-nprobe', type=int, default=8)
     parser.add_argument('--refresh-cache', action='store_true')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -100,6 +107,11 @@ def main():
             weights_path=args.weights, refresh=args.refresh_cache)
     except ValueError as e:
         parser.error(str(e))
+    if args.ivf and args.shard_gallery:
+        parser.error('--ivf is a single-device placement; drop '
+                     '--shard-gallery')
+    if args.ivf and not index.ivf_enabled:
+        index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
     if args.save_index:
         index.save(args.save_index)
     gallery_paths = index.paths

@@ -286,7 +286,8 @@ def make_handler(state, recall_target, rerank_cfg=None,
                     'gallery_size': len(state.index),
                     'dim': state.index.dim,
                     'int8': state.index.int8,
-                    'sharded': state.index.shard})
+                    'sharded': state.index.shard,
+                    'ivf': state.index.ivf_enabled})
             elif path == '/stats':
                 self._json(200, state.stats())
             elif path == '/metrics':
@@ -483,6 +484,18 @@ def main():
                         help='persist the built index after warmup and '
                              'again on graceful shutdown (so /add rows '
                              'survive a restart)')
+    parser.add_argument('--ivf', action='store_true',
+                        help='cluster the gallery and probe only the '
+                             'nearest cells per query (sub-linear scan '
+                             'bytes; near-1 recall on re-ID embeddings). '
+                             'Persisted by --save-index; a --load-index '
+                             'file that carries an IVF keeps it without '
+                             'this flag. Incompatible with '
+                             '--shard-gallery.')
+    parser.add_argument('--ivf-nlist', type=int, default=None,
+                        help='IVF cell count (default ~4*sqrt(N))')
+    parser.add_argument('--ivf-nprobe', type=int, default=8,
+                        help='cells scanned per query')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -519,6 +532,15 @@ def main():
             weights_path=args.weights, refresh=args.refresh_cache)
     except ValueError as e:
         parser.error(str(e))
+
+    if args.ivf and args.shard_gallery:
+        parser.error('--ivf is a single-device placement; drop '
+                     '--shard-gallery (the sharded scan already splits '
+                     'gallery bytes across chips)')
+    if args.ivf and not index.ivf_enabled:
+        t0 = time.time()
+        index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
+        logger.info('IVF build took %.1f s', time.time() - t0)
 
     def embed_fn(paths):
         return embed_paths(cfg, model, params, state, paths, mesh)
