@@ -401,21 +401,36 @@ class RetrievalIndex:
     # untouched.
     # ------------------------------------------------------------------
 
-    def _place_ivf(self):
+    def _place_ivf(self, device_layout=None):
         """(Re)build the cell-sorted device placement from per-row cell
-        assignments (folds any spill — every row has an assignment)."""
+        assignments (folds any spill — every row has an assignment).
+
+        ``device_layout``: original-row-id per CURRENT device position.
+        When given (and complete), the re-sort is an on-device HBM
+        gather of the already-resident rows — milliseconds — instead of
+        re-transferring the multi-GB host mirror over the (slow)
+        host->device link."""
         import jax
+        import jax.numpy as jnp
         from pps_tpu.ops.ivf import build_ivf
         ivf = self._ivf
         perm, starts = build_ivf(ivf['assign'], ivf['nlist'])
+        if device_layout is not None and len(device_layout) == len(perm):
+            inv = np.empty(len(device_layout), np.int64)
+            inv[device_layout] = np.arange(len(device_layout))
+            dev_perm = jax.device_put(inv[perm].astype(np.int32))
+            take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+            self._g = take(self._g, dev_perm)
+            if self._s is not None:
+                self._s = take(self._s, dev_perm)
+        else:
+            self._g = jax.device_put(self._host_g[perm])
+            self._s = (None if self._host_s is None
+                       else jax.device_put(self._host_s[perm]))
         ivf['perm'], ivf['starts'] = perm, starts
-        # one-time transfer: starts rides into every probe dispatch, and
-        # the serving host->device link is slow (~45 MB/s tunnel)
+        # one-time transfer: starts rides into every probe dispatch
         ivf['starts_dev'] = jax.device_put(starts)
         ivf['spill_ids'] = np.zeros((0,), np.int32)
-        self._g = jax.device_put(self._host_g[perm])
-        self._s = (None if self._host_s is None
-                   else jax.device_put(self._host_s[perm]))
         self._n = len(self.paths)
 
     def enable_ivf(self, nlist=None, nprobe=8, budget=None, iters=10,
@@ -442,12 +457,15 @@ class RetrievalIndex:
                 'splits gallery bytes across chips)'
             ng = len(self.paths)
             nlist = int(nlist) if nlist else ivf_ops.default_nlist(ng)
+            # k-means samples its training rows from the HOST mirror
+            # (cheap slice), but full-gallery assignment reads the
+            # already-RESIDENT device rows — no gallery re-transfer
             cent = ivf_ops.kmeans(self._host_g, nlist, iters=iters,
                                   seed=seed, g_scale=self._host_s,
                                   sample=sample)
             nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
-            assign = ivf_ops.assign_clusters(self._host_g, cent,
-                                             g_scale=self._host_s)
+            assign = ivf_ops.assign_clusters(self._g, cent,
+                                             g_scale=self._s)
             if budget is None:
                 budget = min(ng, max(2048, 4 * nprobe * max(ng, 1)
                                      // max(nlist, 1)))
@@ -460,7 +478,8 @@ class RetrievalIndex:
                 'spill_limit': int(spill_limit if spill_limit is not None
                                    else max(4096, ng // 10)),
             }
-            self._place_ivf()
+            # device currently holds original row order: re-sort in HBM
+            self._place_ivf(device_layout=np.arange(ng, dtype=np.int64))
         logger.info('IVF enabled: %d cells, nprobe=%d, budget=%d',
                     nlist, self._ivf['nprobe'], self._ivf['budget'])
 
@@ -789,4 +808,7 @@ class RetrievalIndex:
                     if len(ivf['spill_ids']) > ivf['spill_limit']:
                         logger.info('IVF spill at %d rows; re-sorting',
                                     len(ivf['spill_ids']))
-                        self._place_ivf()
+                        # rows are all on device (sorted + spill tail):
+                        # fold with an HBM gather, not a host transfer
+                        self._place_ivf(device_layout=np.concatenate(
+                            [ivf['perm'], ivf['spill_ids']]))
