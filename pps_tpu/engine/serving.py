@@ -376,7 +376,9 @@ class RetrievalIndex:
 
     def _place(self):
         import jax
-        if self.shard:
+        if self.shard and self._ivf is not None:
+            self._place_ivf_sharded()
+        elif self.shard:
             from pps_tpu.parallel.retrieval import shard_gallery
             self._g, self._s, self._n = shard_gallery(
                 self._host_g, self.mesh, int8=self.int8,
@@ -433,6 +435,27 @@ class RetrievalIndex:
         ivf['spill_ids'] = np.zeros((0,), np.int32)
         self._n = len(self.paths)
 
+    def _place_ivf_sharded(self):
+        """Sharded IVF placement: every cell's rows dealt round-robin
+        across shards (parallel/retrieval.shard_ivf_gallery), so probes
+        hit the same cell set as single-device IVF while each chip reads
+        only its 1/n_shards of the probed bytes."""
+        import jax
+        from pps_tpu.parallel.retrieval import shard_ivf_gallery
+        ivf = self._ivf
+        ivf['placed'] = shard_ivf_gallery(
+            self._host_g, ivf['assign'], ivf['nlist'], self.mesh,
+            g_scale=self._host_s)
+        if not isinstance(ivf['cent'], jax.Array):
+            ivf['cent'] = jax.device_put(np.asarray(ivf['cent'],
+                                                    np.float32))
+        # no spill segment in the sharded placement (adds re-place, as
+        # the plain sharded gallery already does)
+        ivf['spill_ids'] = np.zeros((0,), np.int32)
+        self._g = ivf['placed']['g']
+        self._s = ivf['placed']['scale']
+        self._n = len(self.paths)
+
     def enable_ivf(self, nlist=None, nprobe=8, budget=None, iters=10,
                    seed=0, sample=262144, spill_limit=None):
         """Cluster the gallery and switch ``search`` to IVF probing.
@@ -448,24 +471,33 @@ class RetrievalIndex:
         nprobe: cells scanned per query.  budget: static candidate-row
         cap per query (default ~4x the expected rows at this nprobe).
         spill_limit: appended rows tolerated before an automatic
-        re-sort (default max(4096, N/10)).
+        re-sort (default max(4096, N/10); unsharded only — the sharded
+        placement re-places on add like the plain sharded gallery).
+
+        Composes with ``shard``: centroids stay global (identical
+        recall at a given nprobe) and each cell's rows are dealt
+        round-robin across shards, so capacity scales linearly AND each
+        chip reads only its share of the probed bytes.
         """
         from pps_tpu.ops import ivf as ivf_ops
         with self._lock:
-            assert not self.shard, \
-                'IVF is a single-device placement (sharded scan already ' \
-                'splits gallery bytes across chips)'
             ng = len(self.paths)
             nlist = int(nlist) if nlist else ivf_ops.default_nlist(ng)
             # k-means samples its training rows from the HOST mirror
-            # (cheap slice), but full-gallery assignment reads the
-            # already-RESIDENT device rows — no gallery re-transfer
+            # (cheap slice); full-gallery assignment reads the
+            # already-RESIDENT device rows when unsharded (no gallery
+            # re-transfer), the host mirror under sharding (the sharded
+            # layout is padded/permuted)
             cent = ivf_ops.kmeans(self._host_g, nlist, iters=iters,
                                   seed=seed, g_scale=self._host_s,
                                   sample=sample)
             nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
-            assign = ivf_ops.assign_clusters(self._g, cent,
-                                             g_scale=self._s)
+            if self.shard:
+                assign = ivf_ops.assign_clusters(self._host_g, cent,
+                                                 g_scale=self._host_s)
+            else:
+                assign = ivf_ops.assign_clusters(self._g, cent,
+                                                 g_scale=self._s)
             if budget is None:
                 budget = min(ng, max(2048, 4 * nprobe * max(ng, 1)
                                      // max(nlist, 1)))
@@ -478,10 +510,16 @@ class RetrievalIndex:
                 'spill_limit': int(spill_limit if spill_limit is not None
                                    else max(4096, ng // 10)),
             }
-            # device currently holds original row order: re-sort in HBM
-            self._place_ivf(device_layout=np.arange(ng, dtype=np.int64))
-        logger.info('IVF enabled: %d cells, nprobe=%d, budget=%d',
-                    nlist, self._ivf['nprobe'], self._ivf['budget'])
+            if self.shard:
+                self._place_ivf_sharded()
+            else:
+                # device currently holds original row order: re-sort
+                # with an in-HBM gather
+                self._place_ivf(
+                    device_layout=np.arange(ng, dtype=np.int64))
+        logger.info('IVF enabled: %d cells, nprobe=%d, budget=%d%s',
+                    nlist, self._ivf['nprobe'], self._ivf['budget'],
+                    ' (sharded)' if self.shard else '')
 
     def disable_ivf(self):
         """Back to the exact streaming scan (original row order)."""
@@ -557,7 +595,15 @@ class RetrievalIndex:
         assert q.shape[1] == self.dim, (q.shape, self.dim)
         with self._lock:
             k = max(1, min(int(k), self._n))
-            if self.shard:
+            if self.shard and self._ivf is not None:
+                from pps_tpu.parallel.retrieval import sharded_ivf_topk
+                ivf = self._ivf
+                d, i = sharded_ivf_topk(
+                    q, ivf['cent'], ivf['placed'], k=k,
+                    nprobe=ivf['nprobe'], budget=ivf['budget'],
+                    chunk=chunk, mesh=self.mesh, exact=exact)
+                d, i = np.asarray(d), np.asarray(i)
+            elif self.shard:
                 from pps_tpu.parallel.retrieval import sharded_topk
                 d, i = sharded_topk(q, self._g, ng_total=self._n, k=k,
                                     chunk=chunk,
@@ -731,7 +777,7 @@ class RetrievalIndex:
             self._host_g.shape[0] == len(self.paths), \
             (self._host_g.shape, len(self.paths))
         self._ivf = None
-        if 'ivf_cent' in data and not self.shard:
+        if 'ivf_cent' in data:
             import jax
             cent = np.asarray(data['ivf_cent'], np.float32)
             nprobe, budget, spill_limit = (
@@ -744,9 +790,6 @@ class RetrievalIndex:
                 'nprobe': nprobe, 'budget': budget,
                 'spill_limit': spill_limit,
             }
-        elif 'ivf_cent' in data:
-            logger.warning('stored IVF index ignored under shard=True '
-                           '(IVF is a single-device placement)')
         self._lock = threading.RLock()
         self._place()
         logger.info('loaded %d x %d index (%s) from %s', len(self.paths),
@@ -782,6 +825,14 @@ class RetrievalIndex:
                 new_g, new_s = feats, None
                 self._host_g = np.concatenate([self._host_g, feats])
             self.paths.extend(paths)
+            if self._ivf is not None:
+                # assign the new rows to their cells (tiny matmul; the
+                # centroids are fixed)
+                from pps_tpu.ops.ivf import assign_clusters
+                new_a = assign_clusters(new_g, self._ivf['cent'],
+                                        g_scale=new_s)
+                self._ivf['assign'] = np.concatenate(
+                    [self._ivf['assign'], np.asarray(new_a, np.int32)])
             if self.shard:
                 self._place()
             else:
@@ -795,12 +846,7 @@ class RetrievalIndex:
                     # new rows join the spill tail (scanned exactly and
                     # merged); fold into the sorted layout once the tail
                     # outgrows spill_limit
-                    from pps_tpu.ops.ivf import assign_clusters
                     ivf = self._ivf
-                    new_a = assign_clusters(new_g, ivf['cent'],
-                                            g_scale=new_s)
-                    ivf['assign'] = np.concatenate(
-                        [ivf['assign'], np.asarray(new_a, np.int32)])
                     ivf['spill_ids'] = np.concatenate(
                         [ivf['spill_ids'],
                          np.arange(n_before, len(self.paths),

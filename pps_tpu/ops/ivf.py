@@ -177,9 +177,10 @@ def probe_totals(q, cent, starts, nprobe):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('k', 'nprobe', 'budget', 'chunk'))
+                   static_argnames=('k', 'nprobe', 'budget', 'chunk',
+                                    '_vary_axes'))
 def ivf_topk(q, g, cent, starts, k, nprobe, budget, chunk=8192,
-             g_scale=None):
+             g_scale=None, _vary_axes=None):
     """Top-k nearest gallery rows per query through the IVF index.
 
     q: [Nq, d] queries.  g / g_scale: the CELL-SORTED gallery (rows
@@ -244,6 +245,10 @@ def ivf_topk(q, g, cent, starts, k, nprobe, budget, chunk=8192,
 
     init = (jnp.full((nq, k), jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
+    if _vary_axes is not None:
+        # under shard_map the scan carry must match the body output's
+        # varying-manual-axes type (it varies via the shard's rows)
+        init = jax.lax.pcast(init, _vary_axes, to='varying')
     (best_d, best_i), _ = jax.lax.scan(
         body, init, jnp.arange(n_steps, dtype=jnp.int32))
     best_i = jnp.where(jnp.isinf(best_d), -1, best_i)

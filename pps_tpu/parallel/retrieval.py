@@ -110,6 +110,136 @@ def _build(mesh, k, chunk, recall_target, ng_total, rows_padded, has_scale):
     return jax.jit(merged)
 
 
+def shard_ivf_gallery(g, assign, nlist, mesh, g_scale=None):
+    """Place a clustered gallery row-sharded for `sharded_ivf_topk`.
+
+    Every cell's rows are dealt round-robin across the shards, so each
+    shard holds a slice of EVERY cell: a probe of the ``nprobe`` nearest
+    (global) cells scans the same cell set as the single-device IVF —
+    recall is identical by construction — while each chip reads only its
+    1/n_shards of the probed bytes out of local HBM.
+
+    g: [Ng, d] rows (int8 with ``g_scale``, or float).  assign: [Ng]
+    cell ids (`ops.ivf.assign_clusters`).  Returns a dict: g/scale
+    (sharded device arrays), starts ([n_shards, nlist+1] sharded),
+    perm ([n_shards * rows] sharded device int32 — original row id per
+    device slot, -1 padding), plus host copies for bookkeeping.
+    """
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod(mesh.devices.shape))
+    g = np.asarray(g)
+    assign = np.asarray(assign, np.int64)
+    ng, d = g.shape
+
+    # stable cell-sort, then deal each cell's run round-robin
+    order = np.argsort(assign, kind='stable')
+    counts = np.bincount(assign, minlength=nlist)
+    shard_rows = [[] for _ in range(n_shards)]
+    shard_starts = np.zeros((n_shards, nlist + 1), np.int32)
+    pos = 0
+    for c in range(nlist):
+        run = order[pos:pos + counts[c]]
+        pos += counts[c]
+        for s in range(n_shards):
+            shard_rows[s].append(run[s::n_shards])
+        shard_starts[:, c + 1] = shard_starts[:, c] + np.array(
+            [len(shard_rows[s][-1]) for s in range(n_shards)], np.int32)
+    rows = int(shard_starts[:, -1].max())
+    perm = np.full((n_shards, rows), -1, np.int32)
+    g_stack = np.zeros((n_shards, rows, d), g.dtype)
+    s_stack = (None if g_scale is None
+               else np.zeros((n_shards, rows), np.float32))
+    for s in range(n_shards):
+        ids = np.concatenate(shard_rows[s]) if shard_rows[s] else \
+            np.zeros((0,), np.int64)
+        perm[s, :len(ids)] = ids
+        g_stack[s, :len(ids)] = g[ids]
+        if s_stack is not None:
+            s_stack[s, :len(ids)] = np.asarray(g_scale)[ids]
+
+    def put_rows(a):
+        flat = a.reshape((n_shards * rows,) + a.shape[2:])
+        spec = P(*((axes,) + (None,) * (flat.ndim - 1)))
+        return jax.device_put(flat, NamedSharding(mesh, spec))
+
+    return {
+        'g': put_rows(g_stack),
+        'scale': None if s_stack is None else put_rows(s_stack),
+        'perm': put_rows(perm),
+        'starts': jax.device_put(
+            shard_starts, NamedSharding(mesh, P(axes, None))),
+        'rows': rows, 'nlist': int(nlist), 'ng': ng,
+    }
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ivf(mesh, k, nprobe, budget, chunk, rows, nlist, has_scale,
+               exact=False):
+    from pps_tpu.ops.ivf import ivf_topk
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod(mesh.devices.shape))
+    k_local = min(k, rows)
+    budget_local = max(k_local, -(-budget // n_shards))
+
+    def local(q, cent, g_local, s_local, perm_local, starts_local):
+        if exact:
+            # full scan of the shard's valid prefix (rows past
+            # starts[-1] are padding outside every cell)
+            d, pos = streaming_topk(
+                q, g_local, k=k_local, chunk=min(chunk, rows),
+                g_scale=s_local if has_scale else None,
+                n_valid=starts_local[0][-1], _vary_axes=axes)
+        else:
+            d, pos = ivf_topk(q, g_local, cent, starts_local[0],
+                              k=k_local, nprobe=nprobe,
+                              budget=budget_local, chunk=chunk,
+                              g_scale=s_local if has_scale else None,
+                              _vary_axes=axes)
+        ids = jnp.where(pos >= 0, perm_local[jnp.clip(pos, 0, rows - 1)],
+                        -1)
+        return d, ids
+
+    in_specs = [P(), P(), P(axes, None)]
+    in_specs.append(P(axes) if has_scale else P())
+    in_specs += [P(axes), P(axes, None)]
+    sm = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=(P(None, axes), P(None, axes)))
+
+    def merged(q, cent, g, s, perm, starts, k_out):
+        cand_d, cand_i = sm(q, cent, g, s, perm, starts)
+        neg, sel = jax.lax.top_k(-cand_d, k_out)
+        out_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return -neg, jnp.where(jnp.isinf(neg), -1, out_i)
+
+    return jax.jit(merged, static_argnums=6)
+
+
+def sharded_ivf_topk(q, cent, placed, k=100, nprobe=8, budget=8192,
+                     chunk=8192, mesh=None, exact=False):
+    """Global (dists, ORIGINAL row ids) IVF top-k over a
+    `shard_ivf_gallery` placement.
+
+    Every shard probes the same ``nprobe`` globally-nearest cells (its
+    local slice of them, budget split evenly), and the per-shard
+    candidates merge exactly — recall equals the single-device IVF at
+    the same nprobe.  Unfilled slots are +inf / -1.  ``exact=True``
+    scans every valid row of the placement instead of probing (the
+    exact answer without re-placing the gallery).
+    """
+    if mesh is None:
+        mesh = placed['g'].sharding.mesh
+    n_shards = int(np.prod(mesh.devices.shape))
+    has_scale = placed['scale'] is not None
+    fn = _build_ivf(mesh, int(k), int(min(nprobe, placed['nlist'])),
+                    int(budget), int(chunk), int(placed['rows']),
+                    int(placed['nlist']), has_scale, exact=bool(exact))
+    k_out = min(int(k), placed['ng'],
+                min(int(k), placed['rows']) * n_shards)
+    scale = placed['scale'] if has_scale else jnp.zeros((), jnp.float32)
+    return fn(jnp.asarray(q, jnp.float32), cent, placed['g'], scale,
+              placed['perm'], placed['starts'], k_out)
+
+
 def sharded_topk(q, g, ng_total=None, k=100, chunk=4096, recall_target=None,
                  g_scale=None, mesh=None):
     """Global (dists, indices) top-k over a row-sharded gallery.

@@ -341,10 +341,10 @@ def test_serve_daemon_e2e(tmp_path):
         assert h['gallery_size'] == n_gallery + 1
         assert h['int8'] is True  # precision travels with the file
         # daemon 2 row-shards the loaded index over the 8-device mesh;
-        # the stored IVF is dropped under sharding (single-device
-        # placement) with a warning, not an error
+        # the stored IVF composes with sharding (cells dealt
+        # round-robin across shards), so it survives the restart
         assert h['sharded'] is True
-        assert h['ivf'] is False
+        assert h['ivf'] is True
 
         with open(os.path.join(imdir, gallery_imgs[0]), 'rb') as f:
             raw = f.read()

@@ -329,13 +329,38 @@ def test_ivf_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(d0, d1, atol=1e-4)
 
 
-def test_ivf_rejects_sharded():
-    q, g = _data(ng=64)
+def test_ivf_composes_with_sharding(tmp_path):
+    """IVF + row-sharded placement: full probe matches the exact
+    sharded scan, exact=True works over the IVF layout, adds re-place
+    with assignments intact, and save/load keeps both properties."""
+    q, g = _clustered_data()
+    paths = list(range(len(g)))
     mesh = Mesh(np.array(jax.devices()), ('all',))
-    idx = RetrievalIndex(g, list(range(64)), int8=False, shard=True,
-                         mesh=mesh)
-    with pytest.raises(AssertionError):
-        idx.enable_ivf(nlist=8)
+    idx = RetrievalIndex(g, paths, int8=False, shard=True, mesh=mesh)
+    d_ref, i_ref = idx.search(q, k=10)
+    idx.enable_ivf(nlist=20, nprobe=20, budget=len(g), seed=0)
+    assert idx.ivf_enabled and idx.shard
+    d, i = idx.search(q, k=10)
+    np.testing.assert_array_equal(np.sort(i, axis=1),
+                                  np.sort(i_ref, axis=1))
+    d_e, i_e = idx.search(q, k=10, exact=True)
+    np.testing.assert_array_equal(np.sort(i_e, axis=1),
+                                  np.sort(i_ref, axis=1))
+    # small nprobe still finds the exact self-match
+    idx._ivf['nprobe'] = 2
+    d1, i1 = idx.search(g[:3], k=1)
+    np.testing.assert_array_equal(i1[:, 0], np.arange(3))
+    # adds re-place the sharded layout with assignments intact
+    idx.add(q[0], ['new'])
+    d2, i2 = idx.search(q[0], k=1)
+    assert int(i2[0, 0]) == len(g) and d2[0, 0] < 1e-3
+    # persistence keeps the clustering; reload sharded
+    f = str(tmp_path / 'sharded_ivf.npz')
+    idx.save(f)
+    idx2 = RetrievalIndex.load(f, mesh=mesh, shard=True)
+    assert idx2.ivf_enabled and idx2.shard
+    d3, i3 = idx2.search(q[0], k=1)
+    assert int(i3[0, 0]) == len(g)
 
 
 def test_ivf_reranked_shortlist_flows_through():

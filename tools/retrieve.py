@@ -67,8 +67,8 @@ def main():
     parser.add_argument('--ivf', action='store_true',
                         help='cluster the gallery and probe only the '
                              'nearest cells (sub-linear scan; persisted '
-                             'by --save-index). Incompatible with '
-                             '--shard-gallery.')
+                             'by --save-index; composes with '
+                             '--shard-gallery)')
     parser.add_argument('--ivf-nlist', type=int, default=None)
     parser.add_argument('--ivf-nprobe', type=int, default=8)
     parser.add_argument('--refresh-cache', action='store_true')
@@ -107,9 +107,6 @@ def main():
             weights_path=args.weights, refresh=args.refresh_cache)
     except ValueError as e:
         parser.error(str(e))
-    if args.ivf and args.shard_gallery:
-        parser.error('--ivf is a single-device placement; drop '
-                     '--shard-gallery')
     if args.ivf and not index.ivf_enabled:
         index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
     if args.save_index:

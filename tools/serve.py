@@ -490,8 +490,8 @@ def main():
                              'bytes; near-1 recall on re-ID embeddings). '
                              'Persisted by --save-index; a --load-index '
                              'file that carries an IVF keeps it without '
-                             'this flag. Incompatible with '
-                             '--shard-gallery.')
+                             'this flag. Composes with --shard-gallery '
+                             '(cells dealt round-robin across shards).')
     parser.add_argument('--ivf-nlist', type=int, default=None,
                         help='IVF cell count (default ~4*sqrt(N))')
     parser.add_argument('--ivf-nprobe', type=int, default=8,
@@ -533,10 +533,6 @@ def main():
     except ValueError as e:
         parser.error(str(e))
 
-    if args.ivf and args.shard_gallery:
-        parser.error('--ivf is a single-device placement; drop '
-                     '--shard-gallery (the sharded scan already splits '
-                     'gallery bytes across chips)')
     if args.ivf and not index.ivf_enabled:
         t0 = time.time()
         index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
