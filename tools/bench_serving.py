@@ -212,14 +212,22 @@ def main():
         starts_dev = jax.device_put(starts)
         budget = max(4096, 4 * args.ivf_nprobe * (ng // max(nlist, 1)))
 
-        _, pos = ivf_ops.ivf_topk(qd, gd_sorted, cent, starts_dev,
-                                  k=args.topk, nprobe=args.ivf_nprobe,
-                                  budget=budget, chunk=1024,
-                                  g_scale=sd_sorted)
-        got = perm[np.clip(np.asarray(pos), 0, ng - 1)]
-        recall = float(np.mean([
-            len(set(got[r].tolist()) & set(ei[r].tolist())) / ei.shape[1]
-            for r in range(qn)]))
+        def recall_at(nprobe, bgt):
+            _, pos = ivf_ops.ivf_topk(qd, gd_sorted, cent, starts_dev,
+                                      k=args.topk, nprobe=nprobe,
+                                      budget=bgt, chunk=1024,
+                                      g_scale=sd_sorted)
+            got = perm[np.clip(np.asarray(pos), 0, ng - 1)]
+            return float(np.mean([
+                len(set(got[r].tolist()) & set(ei[r].tolist()))
+                / ei.shape[1] for r in range(qn)]))
+
+        recall_sweep = {
+            np_: round(recall_at(np_, max(4096, 4 * np_ *
+                                          (ng // max(nlist, 1)))), 4)
+            for np_ in sorted({args.ivf_nprobe, 2 * args.ivf_nprobe,
+                               4 * args.ivf_nprobe})}
+        recall = recall_sweep[args.ivf_nprobe]
 
         q1 = jax.device_put(qv[:1].astype(np.float32))
 
@@ -257,14 +265,43 @@ def main():
         ivf_ms = run_scan(ivf_chain, gd_sorted, sd_sorted, cent,
                           starts_dev) * 1e3
 
+        # end-to-end single query through the IVF probe (embed + scan
+        # chained, same protocol as the exact e2e above)
+        @partial(jax.jit, static_argnums=(6,))
+        def e2e_ivf_chain(x, qp, st, gal, gsc, cents, n, starts_d):
+            def body(carry, _):
+                qq = embed(qp, st, carry)
+                _, p = ivf_ops.ivf_topk(qq, gal, cents, starts_d,
+                                        k=args.topk,
+                                        nprobe=args.ivf_nprobe,
+                                        budget=budget, g_scale=gsc)
+                dep = jnp.sum(p).astype(jnp.float32)
+                return carry + dep * 1e-30, None
+            o, _ = jax.lax.scan(body, x, None, length=n)
+            return o
+
+        def run_e2e(n):
+            t0 = time.perf_counter()
+            float(jnp.sum(e2e_ivf_chain(img, qparams, state, gd_sorted,
+                                        sd_sorted, cent, n,
+                                        starts_d=starts_dev)))
+            return time.perf_counter() - t0
+
+        for n in (2, 2 + args.iters):
+            run_e2e(n)
+        e2e_ivf_ms = (run_e2e(2 + args.iters) - run_e2e(2)) \
+            / args.iters * 1e3
+
         out['ivf'] = {
             'nlist': nlist, 'nprobe': args.ivf_nprobe, 'budget': budget,
             'build_kmeans_s': round(t_kmeans, 2),
             'build_assign_s': round(t_assign, 2),
             'recall_at_%d' % args.topk: round(recall, 4),
+            'recall_sweep_nprobe': recall_sweep,
             'exact_scan_ms': round(exact_ms, 3),
             'ivf_scan_ms': round(ivf_ms, 3),
             'scan_speedup': round(exact_ms / max(ivf_ms, 1e-9), 1),
+            'single_query_e2e_ivf_ms': round(e2e_ivf_ms, 2),
         }
 
     print(json.dumps(out))
