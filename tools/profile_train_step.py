@@ -38,6 +38,8 @@ def main():
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--profile-dir', default=None)
     ap.add_argument('--dtype', default='bfloat16')
+    ap.add_argument('--depth', type=int, default=50, choices=(50, 101, 152),
+                    help='ResNet body depth (reference BLOCK_COUNTS)')
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,7 @@ def main():
     p = 8
     k = max(1, args.batch // 8)
     cfg = g._flagship_cfg(ims_per_batch=args.batch, p=p, k=k,
-                          dtype=args.dtype)
+                          dtype=args.dtype, depth=args.depth)
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     w, h = cfg.REID.SCALE
