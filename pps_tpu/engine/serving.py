@@ -6,7 +6,7 @@ retrieval surface was the batch evaluator's full numpy distance matrix
 (reference detectron/datasets/reid_dataset_evaluator.py:104-125, computed
 once per features.pkl); it shipped nothing for interactive serving.  Here
 the gallery lives on the accelerator — f32 or int8-quantized (4x less
-HBM; `ops/pallas/topk.quantize_gallery`), single-device or row-sharded
+HBM; `ops/topk.quantize_gallery`), single-device or row-sharded
 over the whole mesh (`parallel/retrieval`) — and queries stream through
 `streaming_topk` without ever materializing a distance matrix.
 
@@ -342,7 +342,7 @@ class RetrievalIndex:
 
     def __init__(self, feats, paths, mesh=None, int8=True, shard=False):
         import jax
-        from pps_tpu.ops.pallas.topk import quantize_gallery
+        from pps_tpu.ops.topk import quantize_gallery
         self._jax = jax
         feats = np.asarray(feats, np.float32)
         assert feats.ndim == 2 and feats.shape[0] == len(paths), \
@@ -545,7 +545,7 @@ class RetrievalIndex:
         """IVF probe over the sorted region + exact scan of the spill
         tail, merged on host.  Returns (dists, original row ids)."""
         from pps_tpu.ops.ivf import ivf_topk
-        from pps_tpu.ops.pallas.topk import streaming_topk
+        from pps_tpu.ops.topk import streaming_topk
         ivf = self._ivf
         n_sorted = len(ivf['perm'])
         n_spill = len(ivf['spill_ids'])
@@ -588,7 +588,7 @@ class RetrievalIndex:
         resolved UNDER THE INDEX LOCK — the only race-safe way to map
         indices to paths when another thread may remove() rows (which
         renumbers everything after the removed positions)."""
-        from pps_tpu.ops.pallas.topk import streaming_topk
+        from pps_tpu.ops.topk import streaming_topk
         q = np.asarray(q_feats, np.float32)
         if q.ndim == 1:
             q = q[None]
@@ -808,7 +808,7 @@ class RetrievalIndex:
         """
         import jax
         import jax.numpy as jnp
-        from pps_tpu.ops.pallas.topk import quantize_gallery
+        from pps_tpu.ops.topk import quantize_gallery
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 1:
             feats = feats[None]

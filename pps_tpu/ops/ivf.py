@@ -2,7 +2,7 @@
 
 The reference's retrieval is a full numpy distance matrix
 (reference reid_dataset_evaluator.py:104-125); our streaming/exact path
-(`ops/pallas/topk.py`) already removes the O(Nq*Ng) memory, but every
+(`ops/topk.py`) already removes the O(Nq*Ng) memory, but every
 query still READS the whole gallery — on a bandwidth-bound chip the scan
 time is gallery-bytes / HBM-bandwidth (measured 5.6 s for 3368 queries x
 1M x 3968-d int8 on v5e, ~4.9 ms/query single-query floor).  An IVF index

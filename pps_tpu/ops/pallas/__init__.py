@@ -1,19 +1,28 @@
-"""Pallas TPU kernels for the retrieval hot path.
+"""Pallas TPU kernels.
 
 These replace the reference's native CUDA layer
 (/root/reference/detectron/ops/*.cu) where a hand kernel actually beats
 XLA; everything else (batch-hard, CE-with-logits, SGD rules, the eval
-distmat) lowers to fused XLA in pps_tpu/ops/*.py.
+distmat, the streaming top-k) lowers to fused XLA in pps_tpu/ops/*.py.
 
-A hand-written tiled distmat kernel was built and retired in round 2:
-measured head-to-head at Market eval scale on v5e, XLA's expand-form
-(ops/distance.py) reaches 134.7 TFLOP/s (one bf16 MXU pass + fused
-rank-1/sqrt epilogue) vs 88.3 for the best Pallas tiling — a matmul with
-an elementwise epilogue is exactly the program XLA's emitter is tuned
-for, so the kernel bought nothing (BASELINE.md round-2 shootout).
-Pallas stays for what XLA cannot fuse: the streaming top-k's
-chunked-carry selection and the ZeroEven golden-test op.
+Hand-kernel candidates are settled head-to-head on v5e (BASELINE.md):
+
+* tiled distmat — built and RETIRED in round 2: XLA's expand-form
+  (ops/distance.py) reaches 134.7 TFLOP/s (one bf16 MXU pass + fused
+  rank-1/sqrt epilogue) vs 88.3 for the best Pallas tiling; a matmul
+  with an elementwise epilogue is exactly the program XLA's emitter is
+  tuned for.
+* streaming top-k — NOT Pallas (Mosaic has no sort/top_k lowering): it
+  is plain XLA and lives at `pps_tpu/ops/topk.py` (chunked MXU matmuls
+  + lax.top_k merges).  It was historically housed in this package and
+  is re-exported below for compatibility.
+
+What remains as an actual kernel here: `zero_even` (the golden-test
+smoke op proving the Pallas toolchain end-to-end).
 """
 
-from pps_tpu.ops.pallas.topk import streaming_topk
 from pps_tpu.ops.pallas.zero_even import zero_even
+
+# compatibility re-export: streaming_topk predates the pallas/xla
+# relabeling (it is plain XLA and now lives in pps_tpu/ops/topk.py)
+from pps_tpu.ops.topk import streaming_topk

@@ -2,7 +2,7 @@
 
 Scales gallery capacity and scan bandwidth linearly with the mesh: the
 gallery is row-sharded over ALL mesh devices, each device runs the
-streaming top-k (`pps_tpu.ops.pallas.topk.streaming_topk`) over its own
+streaming top-k (`pps_tpu.ops.topk.streaming_topk`) over its own
 shard with gallery-global indices, and one small all-gather of the
 per-shard [Nq, k] candidates feeds an exact final merge.  Collective
 traffic is O(n_shards * Nq * k) — independent of gallery size — so the
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pps_tpu.ops.pallas.topk import quantize_gallery, streaming_topk
+from pps_tpu.ops.topk import quantize_gallery, streaming_topk
 
 try:  # jax >= 0.4.35 moved shard_map out of experimental
     from jax import shard_map as _shard_map_mod  # noqa: F401

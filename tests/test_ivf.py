@@ -14,7 +14,7 @@ import pytest
 
 from pps_tpu.ops.ivf import (assign_clusters, build_ivf, default_nlist,
                              ivf_topk, kmeans, probe_totals)
-from pps_tpu.ops.pallas.topk import streaming_topk
+from pps_tpu.ops.topk import streaming_topk
 
 
 def _clustered(n_clusters=32, per=40, d=64, seed=0, spread=0.05):
@@ -77,7 +77,7 @@ def test_small_nprobe_recall_on_clustered_data():
 
 
 def test_int8_gallery_matches_dequantized_float():
-    from pps_tpu.ops.pallas.topk import quantize_gallery
+    from pps_tpu.ops.topk import quantize_gallery
     q, g = _clustered(n_clusters=8, per=20)
     g8, sc = quantize_gallery(g)
     g8, sc = np.asarray(g8), np.asarray(sc, np.float32)

@@ -5,7 +5,7 @@ pattern)."""
 import numpy as np
 import pytest
 
-from pps_tpu.ops.pallas.topk import streaming_topk
+from pps_tpu.ops.topk import streaming_topk
 from pps_tpu.ops.pallas.zero_even import zero_even
 
 
@@ -56,7 +56,7 @@ def test_streaming_topk_approx_matches_exact():
     the 6.7x TPU speedup + 0.9999 measured recall is in BASELINE.md."""
     import jax
     import jax.numpy as jnp
-    from pps_tpu.ops.pallas.topk import streaming_topk
+    from pps_tpu.ops.topk import streaming_topk
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(24, 16).astype(np.float32))
     g = jnp.asarray(rng.randn(1000, 16).astype(np.float32))
@@ -75,7 +75,7 @@ def test_streaming_topk_approx_k_exceeds_chunk():
     1M-gallery scale (reachable via serve.py --approx-recall + a rerank
     shortlist above the chunk)."""
     import jax.numpy as jnp
-    from pps_tpu.ops.pallas.topk import streaming_topk
+    from pps_tpu.ops.topk import streaming_topk
     rng = np.random.RandomState(3)
     q = jnp.asarray(rng.randn(5, 16).astype(np.float32))
     g = jnp.asarray(rng.randn(300, 16).astype(np.float32))
@@ -89,7 +89,7 @@ def test_streaming_topk_int8_gallery():
     """int8-quantized gallery (quantize_gallery + g_scale): results equal
     the float path on the DEQUANTIZED gallery exactly, and stay near the
     f32-gallery results (L2-normalized embeddings: ~1e-3 dot error)."""
-    from pps_tpu.ops.pallas.topk import quantize_gallery
+    from pps_tpu.ops.topk import quantize_gallery
     rng = np.random.RandomState(7)
     q = rng.randn(16, 64).astype(np.float32)
     g = rng.randn(700, 64).astype(np.float32)

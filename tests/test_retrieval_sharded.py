@@ -13,7 +13,7 @@ import pytest
 import jax
 from jax.sharding import Mesh
 
-from pps_tpu.ops.pallas.topk import quantize_gallery, streaming_topk
+from pps_tpu.ops.topk import quantize_gallery, streaming_topk
 from pps_tpu.parallel.retrieval import shard_gallery, sharded_topk
 
 

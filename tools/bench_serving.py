@@ -57,7 +57,7 @@ def main():
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
     from pps_tpu.models.quantize import quantize_for_eval
-    from pps_tpu.ops.pallas.topk import streaming_topk, quantize_gallery
+    from pps_tpu.ops.topk import streaming_topk, quantize_gallery
 
     cfg = g._flagship_cfg()
     model = build_model(cfg)
