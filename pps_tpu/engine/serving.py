@@ -660,35 +660,51 @@ class RetrievalIndex:
         if q.ndim == 1:
             q = q[None]
         s = max(int(shortlist), int(k))
-        # hold the (re-entrant) lock across shortlist scan + host row
-        # fetch + resolution: a concurrent remove() renumbers rows, so
+        # hold the (re-entrant) lock ONLY across shortlist scan + host
+        # row/path snapshot: a concurrent remove() renumbers rows, so
         # indices from an unlocked scan would fetch the WRONG gallery
-        # rows (or step past the shrunk array) here
+        # rows (or step past the shrunk array).  The O(S^2) k-reciprocal
+        # math itself runs on the snapshot OUTSIDE the lock — it can take
+        # ~ms/query (numpy engine: ~15 ms on one core), and holding the
+        # index lock across it would stall every concurrent search for
+        # pure host work (measured in tools/bench_serve_load.py).
         with self._lock:
             d0, i0 = self.search(q, s, recall_target=recall_target,
                                  chunk=chunk)
-            kk = min(int(k), i0.shape[1])
-            out_d = np.full((q.shape[0], kk), np.inf, np.float32)
-            out_i = np.full((q.shape[0], kk), -1, np.int64)
+            snaps = []
             for qi in range(q.shape[0]):
                 cand = i0[qi][i0[qi] >= 0]
-                if cand.size == 0:
-                    continue
-                rows = self._rows_f32(cand)
-                qrow = q[qi:qi + 1]
-                qg = _euclidean(qrow, rows)
-                gg = _euclidean(rows, rows)
-                qq = np.zeros((1, 1), np.float32)
-                c_k1 = min(int(k1), cand.size)
-                c_k2 = max(1, min(int(k2), c_k1))
-                rr = _rerank_small(qg, qq, gg, c_k1, c_k2,
-                                   float(lambda_value), engine=engine)[0]
-                order = np.argsort(rr, kind='stable')[:kk]
-                out_d[qi, :order.size] = rr[order]
-                out_i[qi, :order.size] = cand[order]
+                rows = self._rows_f32(cand) if cand.size else None
+                cpaths = None
+                if return_paths:
+                    cpaths = [self.paths[int(j)]
+                              if 0 <= int(j) < len(self.paths) else None
+                              for j in cand]
+                snaps.append((cand, rows, cpaths))
+        kk = min(int(k), i0.shape[1])
+        out_d = np.full((q.shape[0], kk), np.inf, np.float32)
+        out_i = np.full((q.shape[0], kk), -1, np.int64)
+        out_p = [[None] * kk for _ in range(q.shape[0])]
+        for qi, (cand, rows, cpaths) in enumerate(snaps):
+            if cand.size == 0:
+                continue
+            qrow = q[qi:qi + 1]
+            qg = _euclidean(qrow, rows)
+            gg = _euclidean(rows, rows)
+            qq = np.zeros((1, 1), np.float32)
+            c_k1 = min(int(k1), cand.size)
+            c_k2 = max(1, min(int(k2), c_k1))
+            rr = _rerank_small(qg, qq, gg, c_k1, c_k2,
+                               float(lambda_value), engine=engine)[0]
+            order = np.argsort(rr, kind='stable')[:kk]
+            out_d[qi, :order.size] = rr[order]
+            out_i[qi, :order.size] = cand[order]
             if return_paths:
-                return out_d, out_i, self._paths_of(out_i)
-            return out_d, out_i
+                for r, o in enumerate(order):
+                    out_p[qi][r] = cpaths[int(o)]
+        if return_paths:
+            return out_d, out_i, out_p
+        return out_d, out_i
 
     def remove(self, paths):
         """Drop every row whose path is in ``paths``; returns the number

@@ -374,3 +374,48 @@ def test_ivf_reranked_shortlist_flows_through():
     d_b, i_b = idx.search_reranked(q, k=5, shortlist=30, engine='numpy')
     np.testing.assert_array_equal(i_a, i_b)
     np.testing.assert_allclose(d_a, d_b, atol=1e-4)
+
+
+def test_search_reranked_paths_consistent_under_concurrent_remove():
+    """The O(S^2) rerank math runs OUTSIDE the index lock (so searches
+    don't stall behind host rerank work), but rows/paths are snapshotted
+    UNDER it — a racing remove() that renumbers every row must never
+    make a returned path disagree with the row it was ranked by."""
+    import threading
+    rng = np.random.RandomState(7)
+    d = 16
+    # distinctive rows: targets far apart, chaff rows near the origin
+    targets = np.eye(d, dtype=np.float32) * 5.0
+    chaff = rng.randn(200, d).astype(np.float32) * 0.05
+    g = np.concatenate([targets, chaff])
+    paths = (['target%d' % i for i in range(d)]
+             + ['chaff%d' % i for i in range(200)])
+    idx = RetrievalIndex(g, paths, int8=False)
+
+    stop = threading.Event()
+    errors = []
+
+    def churn():
+        # add/remove chaff rows in a loop: every cycle renumbers the
+        # whole tail of the index
+        i = 0
+        while not stop.is_set():
+            name = 'extra%d' % i
+            idx.add(rng.randn(1, d).astype(np.float32) * 0.05, [name])
+            idx.remove([name])
+            i += 1
+
+    t = threading.Thread(target=churn)
+    t.start()
+    try:
+        for it in range(60):
+            ti = it % d
+            q = targets[ti] + rng.randn(d).astype(np.float32) * 0.01
+            dd, ii, pp = idx.search_reranked(
+                q, k=3, shortlist=10, engine='numpy', return_paths=True)
+            if pp[0][0] != 'target%d' % ti:
+                errors.append((it, pp[0][0]))
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
