@@ -319,6 +319,180 @@ class EmbedBatcher:
                     done.set()
 
 
+class SearchBatcher:
+    """Coalesces concurrent index searches into ONE device scan.
+
+    The streaming scan's cost is the gallery READ (it is
+    HBM-bandwidth-bound — BASELINE.md), which is ~flat in the number of
+    query rows: scanning for 64 queries costs about the same device
+    time as for 1 (the per-chunk matmul grows but stays tiny next to
+    the bytes).  A daemon that serializes per-request scans therefore
+    pays N x scan-time for N concurrent searches; coalescing converts
+    that into ~1 x.  Same continuous-batching discipline as
+    EmbedBatcher: no timers — while one scan runs, arrivals queue, and
+    the dispatcher takes everything waiting in one call, so batching
+    emerges exactly under contention and adds zero latency when there
+    is none.
+
+    Requests coalesce only within a GROUP KEY (k, recall_target, exact,
+    rerank params): different keys need different compiled programs /
+    host stages.  Coalesced batches pad their query rows up to a small
+    set of bucket sizes (1, 4, 16, ..., max_batch) so each key compiles
+    O(log max_batch) top-k programs instead of one per arrival count
+    (each fresh nq shape would otherwise pay a full XLA compile, which
+    can take minutes through a degraded compile service).
+    """
+
+    _STOP = object()
+
+    def __init__(self, index, max_batch=64, max_pending=None):
+        self.index = index
+        self.max_batch = max(1, int(max_batch))
+        self.max_pending = (None if max_pending is None
+                            else max(1, int(max_pending)))
+        self._q = queue.Queue()
+        self._closed = False
+        self.dispatches = 0                   # device scans issued
+        self.queries = 0                      # query rows scanned
+        self.shed = 0                         # requests refused
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='search-batcher')
+        self._thread.start()
+
+    def buckets(self):
+        """The nq padding buckets: 1, 4, 16, ... capped at max_batch."""
+        out, b = [], 1
+        while b < self.max_batch:
+            out.append(b)
+            b *= 4
+        out.append(self.max_batch)
+        return out
+
+    def _bucket(self, n):
+        for b in self.buckets():
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def pending(self):
+        return self._q.qsize()
+
+    def close(self):
+        self._closed = True
+        self._q.put(self._STOP)
+        self._thread.join(timeout=60)
+
+    def search(self, q, k, recall_target=None, exact=False, rerank=None):
+        """Blocking: (dists, indices, paths) for THIS request's query
+        rows; coalesced with concurrent compatible requests.
+
+        rerank: None for the plain scan, or a dict with keys
+        shortlist/k1/k2/lam/engine to route through search_reranked.
+        Raises Overloaded past ``max_pending`` (the daemon sheds 503).
+        """
+        if self._closed:
+            raise Overloaded('search batcher closed (shutting down)')
+        if self.max_pending is not None and \
+                self._q.qsize() >= self.max_pending:
+            self.shed += 1
+            raise Overloaded(
+                'search backlog at {} requests (max_pending={})'.format(
+                    self._q.qsize(), self.max_pending))
+        q = np.asarray(q, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        key = (int(k), recall_target, bool(exact),
+               None if rerank is None else tuple(sorted(rerank.items())))
+        box = {'out': None, 'err': None}
+        done = threading.Event()
+        self._q.put((key, q, rerank, box, done))
+        while not done.wait(1.0):
+            if self._closed and not self._thread.is_alive():
+                raise Overloaded('search batcher closed while queued')
+        if box['err'] is not None:
+            raise box['err']
+        return box['out']
+
+    def _fail_queued(self):
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is self._STOP:
+                continue
+            item[3]['err'] = Overloaded(
+                'search batcher closed (shutting down)')
+            item[4].set()
+
+    def _dispatch(self, key, group):
+        k, recall_target, exact, _ = key
+        rows = np.concatenate([req[1] for req in group], axis=0)
+        n = rows.shape[0]
+        b = self._bucket(n)
+        if b > n:  # pad to the bucket: scan cost is bytes, not rows
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], b - n, axis=0)], axis=0)
+        rerank = group[0][2]
+        if rerank is not None:
+            d, i, p = self.index.search_reranked(
+                rows, k, shortlist=rerank.get('shortlist', 100),
+                k1=rerank.get('k1', 20), k2=rerank.get('k2', 6),
+                lambda_value=rerank.get('lam', 0.3),
+                recall_target=recall_target,
+                engine=rerank.get('engine', 'auto'), return_paths=True)
+        else:
+            d, i, p = self.index.search(rows, k,
+                                        recall_target=recall_target,
+                                        exact=exact, return_paths=True)
+        self.dispatches += 1
+        off = 0
+        for _, qr, _, box, _ in group:
+            m = qr.shape[0]
+            box['out'] = (d[off:off + m], i[off:off + m],
+                          p[off:off + m])
+            off += m
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                self._fail_queued()
+                return
+            batch = [item]
+            n = item[1].shape[0]
+            while n < self.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._q.put(nxt)
+                    break
+                batch.append(nxt)
+                n += nxt[1].shape[0]
+            # group by compatibility key; each group is one dispatch
+            groups = {}
+            for req in batch:
+                groups.setdefault(req[0], []).append(req)
+            for key, group in groups.items():
+                try:
+                    self._dispatch(key, group)
+                except Exception as e:  # noqa: BLE001 - isolate poison
+                    if len(group) == 1:
+                        group[0][3]['err'] = e
+                    else:
+                        for req in group:
+                            try:
+                                self._dispatch(key, [req])
+                            except Exception as e2:  # noqa: BLE001
+                                req[3]['err'] = e2
+                finally:
+                    self.queries += sum(r[1].shape[0] for r in group)
+                    for req in group:
+                        req[4].set()
+
+
 class RetrievalIndex:
     """Device-resident top-k retrieval over an appendable gallery.
 

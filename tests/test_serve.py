@@ -248,6 +248,13 @@ def test_serve_daemon_e2e(tmp_path):
         assert e['avg_batch'] >= 1.0
         assert e['pending'] == 0 and e['shed'] == 0
 
+        # the search micro-batcher routed every non-multi gallery scan
+        # (plain + rerank flavors above); same accounting invariants
+        se = _req(base + '/stats')['search']
+        assert se['queries'] >= se['dispatches'] >= 1
+        assert se['avg_batch'] >= 1.0
+        assert se['pending'] == 0 and se['shed'] == 0
+
         # oversized body: refused with 413 (drained, keep-alive intact —
         # the daemon was started with --max-body-mb 1)
         try:

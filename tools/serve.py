@@ -13,7 +13,10 @@ compile, then answers queries until stopped.  stdlib HTTP only — no
 server-framework dependency.  Concurrent query embeds coalesce into
 one device dispatch (`EmbedBatcher` continuous batching: the extraction
 graph pads to a fixed batch, so up to --max-embed-batch queries ride
-one forward for the price every single query already pays).
+one forward for the price every single query already pays), and
+concurrent gallery scans coalesce the same way (`SearchBatcher`: the
+scan is HBM-bandwidth-bound, so up to --max-search-batch queries ride
+one gallery read for ~the device time one query pays).
 
   python tools/serve.py --cfg <yaml> --weights model_final.pkl \
       --gallery DIR [--port 8080] [--int8-gallery] [--shard-gallery] \
@@ -89,12 +92,14 @@ class _ChunkedBody(ValueError):
 
 
 class ServerState(object):
-    """Everything a request needs: the embed batcher, the index, stats."""
+    """Everything a request needs: the embed batcher, the search
+    batcher, the index, stats."""
 
-    def __init__(self, batcher, index, default_k):
+    def __init__(self, batcher, index, default_k, search_batcher=None):
         self.batcher = batcher            # EmbedBatcher (serializes +
         self.index = index                # coalesces device embeds)
-        self.default_k = default_k
+        self.search_batcher = search_batcher  # SearchBatcher (coalesces
+        self.default_k = default_k            # device gallery scans)
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0
@@ -147,6 +152,16 @@ class ServerState(object):
              'embed requests queued')
         emit('embed_shed_total', 'counter', e['shed'],
              'requests refused at max_pending')
+        se = s.get('search')
+        if se:
+            emit('search_dispatches_total', 'counter', se['dispatches'],
+                 'device gallery-scan dispatches')
+            emit('search_queries_total', 'counter', se['queries'],
+                 'query rows scanned')
+            emit('search_pending', 'gauge', se['pending'],
+                 'search requests queued')
+            emit('search_shed_total', 'counter', se['shed'],
+                 'search requests refused at max_pending')
         lat = s.get('latency_ms')
         if lat:
             for q in ('p50', 'p90', 'p99'):
@@ -166,6 +181,13 @@ class ServerState(object):
                             'avg_batch': round(ni / nd, 2) if nd else None,
                             'pending': self.batcher.pending(),
                             'shed': self.batcher.shed}
+            sb = self.search_batcher
+            if sb is not None:
+                sd, sq = sb.dispatches, sb.queries
+                out['search'] = {
+                    'dispatches': sd, 'queries': sq,
+                    'avg_batch': round(sq / sd, 2) if sd else None,
+                    'pending': sb.pending(), 'shed': sb.shed}
             if lat.size:
                 out['latency_ms'] = {
                     'mean': round(float(lat.mean()), 2),
@@ -264,18 +286,27 @@ def make_handler(state, recall_target, rerank_cfg=None,
             with paths resolved under the index lock.
             """
             if str(opts.get('rerank', '')).lower() in ('1', 'true', 'yes'):
-                d, i, p = state.index.search_reranked(
-                    q, k,
-                    shortlist=int(opts.get(
-                        'shortlist', rerank_cfg.get('shortlist', 100))),
-                    k1=int(opts.get('k1', rerank_cfg.get('k1', 20))),
-                    k2=int(opts.get('k2', rerank_cfg.get('k2', 6))),
-                    lambda_value=float(opts.get(
-                        'lambda', rerank_cfg.get('lam', 0.3))),
-                    recall_target=recall_target, return_paths=True)
+                rk = {'shortlist': int(opts.get(
+                          'shortlist', rerank_cfg.get('shortlist', 100))),
+                      'k1': int(opts.get('k1', rerank_cfg.get('k1', 20))),
+                      'k2': int(opts.get('k2', rerank_cfg.get('k2', 6))),
+                      'lam': float(opts.get(
+                          'lambda', rerank_cfg.get('lam', 0.3)))}
+                if state.search_batcher is not None:
+                    d, i, p = state.search_batcher.search(
+                        q, k, recall_target=recall_target, rerank=rk)
+                else:
+                    d, i, p = state.index.search_reranked(
+                        q, k, shortlist=rk['shortlist'], k1=rk['k1'],
+                        k2=rk['k2'], lambda_value=rk['lam'],
+                        recall_target=recall_target, return_paths=True)
                 return (d, i, p), True
-            d, i, p = state.index.search(q, k, recall_target=recall_target,
-                                         return_paths=True)
+            if state.search_batcher is not None:
+                d, i, p = state.search_batcher.search(
+                    q, k, recall_target=recall_target)
+            else:
+                d, i, p = state.index.search(
+                    q, k, recall_target=recall_target, return_paths=True)
             return (d, i, p), False
 
         def do_GET(self):
@@ -472,6 +503,16 @@ def main():
     parser.add_argument('--max-pending', type=int, default=256,
                         help='shed load (HTTP 503) when this many embed '
                              'requests are already queued')
+    parser.add_argument('--max-search-batch', type=int, default=64,
+                        help='cap for coalescing concurrent gallery '
+                             'scans into one device dispatch (the scan '
+                             'is bandwidth-bound, so 64 queries cost '
+                             '~the same device time as 1); 1 disables '
+                             'search coalescing')
+    parser.add_argument('--no-warm-buckets', action='store_true',
+                        help='skip pre-compiling the coalesced-scan '
+                             'bucket sizes at startup (they then '
+                             'compile on first use under load)')
     parser.add_argument('--max-body-mb', type=int, default=32,
                         help='refuse request bodies larger than this '
                              '(HTTP 413)')
@@ -506,7 +547,7 @@ def main():
     from pps_tpu.config import (cfg, merge_cfg_from_file,
                                 merge_cfg_from_list, assert_and_infer_cfg)
     from pps_tpu.engine import checkpoint as ckpt_lib
-    from pps_tpu.engine.serving import (EmbedBatcher,
+    from pps_tpu.engine.serving import (EmbedBatcher, SearchBatcher,
                                         build_index_from_args, embed_paths)
     from pps_tpu.models.model import build_model
     from pps_tpu.parallel import mesh as mesh_lib
@@ -580,13 +621,33 @@ def main():
                                                      len(index)):
         index.search(q, min(args.rerank_shortlist, len(index)),
                      recall_target=args.approx_recall)
+
+    search_batcher = None
+    if args.max_search_batch > 1:
+        search_batcher = SearchBatcher(index,
+                                       max_batch=args.max_search_batch,
+                                       max_pending=args.max_pending)
+        if not args.no_warm_buckets:
+            # each coalesced-scan bucket size is its own compiled
+            # program (jit is shape-static in nq): compile them now, or
+            # the first contended burst pays a full XLA compile inside
+            # the index lock.  Both the plain-k and the rerank-shortlist
+            # programs are warmed.
+            for b in search_batcher.buckets()[1:]:
+                qb = np.repeat(q, b, axis=0)
+                for kk in {min(args.topk, len(index)),
+                           min(args.rerank_shortlist, len(index))}:
+                    index.search(qb, kk, recall_target=args.approx_recall)
+            logger.info('warmed scan buckets %s',
+                        search_batcher.buckets())
     logger.info('warmup done in %.1f s (gallery %d x %d, int8=%s, '
                 'sharded=%s)', time.time() - t0, len(index), index.dim,
                 index.int8, index.shard)
     if args.save_index:
         index.save(args.save_index)
 
-    state_obj = ServerState(batcher, index, args.topk)
+    state_obj = ServerState(batcher, index, args.topk,
+                            search_batcher=search_batcher)
     rerank_cfg = {'shortlist': args.rerank_shortlist, 'k1': args.rerank_k1,
                   'k2': args.rerank_k2, 'lam': args.rerank_lambda}
     httpd = ThreadingHTTPServer(
@@ -617,6 +678,8 @@ def main():
     finally:
         httpd.server_close()
         batcher.close()
+        if search_batcher is not None:
+            search_batcher.close()
         if args.save_index:
             index.save(args.save_index)
 
