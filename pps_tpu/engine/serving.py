@@ -514,6 +514,13 @@ class RetrievalIndex:
     dispatches).
     """
 
+    # exact scans whose [Nq, Ng] distance row fits this many elements
+    # route through ops.topk.flat_topk (one gallery read, no chunk
+    # chain); bigger batches stream.  64M elems = 256 MB f32 for the
+    # row (+ ~2x transients) — 64 concurrent queries at a 1M gallery,
+    # the SearchBatcher's default coalescing cap.
+    FLAT_SCAN_MAX_ELEMS = 64 * 1024 * 1024
+
     def __init__(self, feats, paths, mesh=None, int8=True, shard=False):
         import jax
         from pps_tpu.ops.topk import quantize_gallery
@@ -550,6 +557,7 @@ class RetrievalIndex:
 
     def _place(self):
         import jax
+        self._gn = None        # row norms follow the device layout
         if self.shard and self._ivf is not None:
             self._place_ivf_sharded()
         elif self.shard:
@@ -589,6 +597,7 @@ class RetrievalIndex:
         import jax
         import jax.numpy as jnp
         from pps_tpu.ops.ivf import build_ivf
+        self._gn = None
         ivf = self._ivf
         perm, starts = build_ivf(ivf['assign'], ivf['nlist'])
         if device_layout is not None and len(device_layout) == len(perm):
@@ -786,6 +795,20 @@ class RetrievalIndex:
                 d, i = np.asarray(d), np.asarray(i)
             elif self._ivf is not None and not exact:
                 d, i = self._search_ivf(q, k, chunk)
+            elif q.shape[0] * self._n <= self.FLAT_SCAN_MAX_ELEMS:
+                # small-batch exact scan: one dot over the resident
+                # gallery beats the streaming scan's sequential chunk
+                # chain ~5x at nq=1 (6.06 ms vs 29.5 ms at 1M x 3968-d
+                # int8 — BASELINE.md shootout); exact results satisfy
+                # any recall_target.  Gated on the [Nq, Ng] distance
+                # row's footprint; big extraction batches stream.
+                from pps_tpu.ops.topk import flat_topk, gallery_norms
+                if self._gn is None:
+                    self._gn = gallery_norms(self._g, self._s)
+                d, i = flat_topk(q, self._g, k=k, g_scale=self._s,
+                                 g_norm=self._gn)
+                # device layout is cell-sorted under IVF: map back
+                d, i = np.asarray(d), self._to_orig(np.asarray(i))
             else:
                 d, i = streaming_topk(q, self._g, k=k, chunk=chunk,
                                       recall_target=recall_target,
@@ -1026,11 +1049,18 @@ class RetrievalIndex:
             if self.shard:
                 self._place()
             else:
-                self._g = jnp.concatenate(
-                    [self._g, jax.device_put(new_g)])
-                if new_s is not None:
-                    self._s = jnp.concatenate(
-                        [self._s, jax.device_put(new_s)])
+                new_g_dev = jax.device_put(new_g)
+                new_s_dev = (None if new_s is None
+                             else jax.device_put(new_s))
+                self._g = jnp.concatenate([self._g, new_g_dev])
+                if new_s_dev is not None:
+                    self._s = jnp.concatenate([self._s, new_s_dev])
+                if self._gn is not None:
+                    # keep the cached row norms warm: only the new rows
+                    # are reduced (a cold rebuild re-reads the gallery)
+                    from pps_tpu.ops.topk import gallery_norms
+                    self._gn = jnp.concatenate(
+                        [self._gn, gallery_norms(new_g_dev, new_s_dev)])
                 self._n = len(self.paths)
                 if self._ivf is not None:
                     # new rows join the spill tail (scanned exactly and

@@ -37,6 +37,97 @@ def quantize_gallery(g):
     return g8, scale.astype(np.float32)
 
 
+@jax.jit
+def gallery_norms(g, g_scale=None):
+    """Squared L2 norms of the (dequantized) gallery rows, [Ng] f32.
+
+    One fused reduction over the resident gallery (the int8 bytes are
+    read once; no f32 copy materializes).  Precompute per placement and
+    hand to ``flat_topk`` — otherwise every flat scan pays a second
+    full-gallery read just to rebuild them.
+    """
+    if g_scale is None:
+        return jnp.sum(jnp.square(g.astype(jnp.float32)), axis=1)
+    rows = g.astype(jnp.float32) * g_scale.astype(jnp.float32)[:, None]
+    return jnp.sum(jnp.square(rows), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=('k',))
+def flat_topk(q, g, k=100, g_scale=None, g_norm=None, n_valid=None,
+              index_offset=None):
+    """Exact top-k gallery scan as ONE dot over the whole resident
+    gallery — the low-latency exact path for small query batches.
+
+    Same contract as ``streaming_topk`` (Euclidean, ascending, -1/inf
+    for never-filled slots, ``n_valid``/``index_offset`` shard
+    semantics), but no sequential chunk chain: the 244-step
+    ``lax.scan`` dependency chain is what held the shipped streaming
+    scan at 29.5 ms for a single query over a 1M x 3968-d int8 gallery
+    — 6x over the ~5 ms HBM read bound.  This formulation reads the
+    gallery once into one MXU matmul and runs a two-level hierarchical
+    top-k on the distance row: measured 6.06 ms (1.22x the bound) with
+    top-100 agreement 1.0 vs the streaming scan (BASELINE.md,
+    tools/bench_exact_scan.py shootout).
+
+    Exactness on int8 galleries: int8 values are exactly representable
+    in bfloat16 and the per-row dequant scale commutes out of the
+    matmul (q . (g8 * s) = (q . g8) * s), so no f32 dequant copy ever
+    materializes; full f32 query precision comes from a hi/lo bf16
+    query split (q = hi + lo, two rows through the same dot).
+
+    Memory: materializes the [Nq, Ng] distance row — callers gate on
+    nq * ng (serving.RetrievalIndex routes through here below its
+    elements budget, streaming_topk above it).
+    """
+    nq, d = q.shape
+    ng = g.shape[0]
+    k = min(k, ng)
+    q = q.astype(jnp.float32)
+    qn = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+    if g_scale is not None:
+        assert g.dtype == jnp.int8, (
+            'g_scale is for int8 galleries; got {}'.format(g.dtype))
+        qhi = q.astype(jnp.bfloat16)
+        qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        qq = jnp.concatenate([qhi, qlo], axis=0)         # [2nq, d]
+        ss = jax.lax.dot_general(
+            qq, g.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [2nq, Ng]
+        scores = ((ss[:nq] + ss[nq:])
+                  * g_scale.astype(jnp.float32)[None, :])
+    else:
+        scores = jnp.dot(q, g.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32)
+    if g_norm is None:
+        g_norm = gallery_norms(g, g_scale)
+    d2 = jnp.maximum(qn + g_norm[None, :] - 2.0 * scores, 0.0)
+    ng_valid = ng if n_valid is None else n_valid
+    col = jnp.arange(ng, dtype=jnp.int32)
+    d2 = jnp.where(col[None, :] < ng_valid, d2, jnp.inf)
+
+    # two-level exact top-k: per-subblock top-k in one batched call,
+    # then one merge — avoids a monolithic Ng-wide sort.  Candidate
+    # order (subblock-major, index-major within) preserves the
+    # lowest-global-index tie rule of a full sort.
+    m = 16384
+    pad = (-ng) % m
+    d2p = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    nsub = d2p.shape[1] // m
+    sub = d2p.reshape(nq, nsub, m)
+    kk1 = min(k, m)
+    negd, subi = jax.lax.top_k(-sub, kk1)                # [nq, nsub, kk1]
+    base = (jnp.arange(nsub, dtype=jnp.int32) * m)[None, :, None]
+    cand_i = (subi + base).reshape(nq, nsub * kk1)
+    cand_d = negd.reshape(nq, nsub * kk1)                # negated d2
+    neg, sel = jax.lax.top_k(cand_d, k)
+    out_d = jnp.sqrt(-neg)
+    out_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+    if index_offset is not None:
+        out_i = jnp.where(out_i >= 0, out_i + index_offset, out_i)
+    return out_d, out_i
+
+
 @functools.partial(jax.jit, static_argnames=('k', 'chunk', 'recall_target',
                                              '_vary_axes'))
 def streaming_topk(q, g, k=100, chunk=4096, recall_target=None,
