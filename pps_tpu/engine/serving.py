@@ -788,6 +788,7 @@ class RetrievalIndex:
                 'budget': int(budget),
                 'spill_limit': int(spill_limit if spill_limit is not None
                                    else max(4096, ng // 10)),
+                'trained_n': ng,  # rows present when k-means ran
             }
             if self.shard:
                 self._place_ivf_sharded()
@@ -809,6 +810,29 @@ class RetrievalIndex:
     @property
     def ivf_enabled(self):
         return self._ivf is not None
+
+    @property
+    def ivf_staleness(self):
+        """Fraction of the gallery appended since the IVF centroids were
+        trained (0.0 right after ``enable_ivf``; None when IVF is off).
+
+        Centroid-staleness policy (documented, deliberately manual):
+        centroids are FIXED after ``enable_ivf`` — appended rows are
+        assigned to their nearest existing cell (and spill-folded into
+        the sorted layout past ``spill_limit``), which preserves recall
+        as long as new rows come from the same embedding distribution.
+        When staleness grows large (rule of thumb: > 0.25) or the
+        distribution shifts (new camera domain, re-embedded gallery
+        after a weights change), the operator re-trains by calling
+        ``enable_ivf`` again — a full k-means + re-sort that would
+        stall every search behind the index lock if it ran
+        automatically inside ``add`` at serving scale, which is why it
+        is surfaced as a metric (daemon /stats) instead of a trigger.
+        """
+        if self._ivf is None:
+            return None
+        n = len(self.paths)
+        return max(0.0, (n - self._ivf['trained_n']) / max(n, 1))
 
     def _to_orig(self, pos):
         """Device-layout positions -> original row ids (-1 passthrough).
@@ -1052,7 +1076,8 @@ class RetrievalIndex:
                 payload['ivf_assign'] = self._ivf['assign']
                 payload['ivf_params'] = np.array(
                     [self._ivf['nprobe'], self._ivf['budget'],
-                     self._ivf['spill_limit']], np.int64)
+                     self._ivf['spill_limit'],
+                     self._ivf['trained_n']], np.int64)
             tmp = path + '.tmp.npz'
             with open(tmp, 'wb') as f:
                 np.savez(f, **payload)
@@ -1089,8 +1114,11 @@ class RetrievalIndex:
         if 'ivf_cent' in data:
             import jax
             cent = np.asarray(data['ivf_cent'], np.float32)
-            nprobe, budget, spill_limit = (
-                int(v) for v in data['ivf_params'])
+            iv = [int(v) for v in data['ivf_params']]
+            nprobe, budget, spill_limit = iv[:3]
+            # files written before the staleness metric carry 3 params:
+            # treat their rows as all-trained (staleness restarts at 0)
+            trained_n = iv[3] if len(iv) > 3 else len(self.paths)
             self._ivf = {
                 'cent': jax.device_put(cent),
                 'assign': np.ascontiguousarray(data['ivf_assign'],
@@ -1098,6 +1126,7 @@ class RetrievalIndex:
                 'nlist': int(cent.shape[0]),
                 'nprobe': nprobe, 'budget': budget,
                 'spill_limit': spill_limit,
+                'trained_n': trained_n,
             }
         self._lock = threading.RLock()
         self._place()

@@ -176,6 +176,11 @@ class ServerState(object):
             out = {'requests': self.n_requests, 'errors': self.n_errors,
                    'adds': self.n_adds, 'removes': self.n_removes,
                    'gallery_size': len(self.index)}
+            stale = self.index.ivf_staleness
+            if stale is not None:
+                # operators watch this for the manual-retrain policy
+                # (engine/serving.py RetrievalIndex.ivf_staleness)
+                out['ivf_staleness'] = round(stale, 4)
             nd, ni = self.batcher.dispatches, self.batcher.images
             out['embed'] = {'dispatches': nd, 'images': ni,
                             'avg_batch': round(ni / nd, 2) if nd else None,
