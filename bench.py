@@ -28,12 +28,24 @@ import time
 import numpy as np
 
 
-def _throughput(fn, args, batch, iters=20, warmup=3):
+def _median_spread(vals):
+    """(median, spread) where spread = (max-min)/median — the
+    reproducibility figure reported next to every measured rate."""
+    vals = sorted(vals)
+    med = vals[len(vals) // 2]
+    return med, (vals[-1] - vals[0]) / med
+
+
+def _throughput(fn, args, batch, iters=20, warmup=3, reps=3):
     """Slope-method steady-state throughput: dispatch N executions and
     force completion with one scalar readback, for two values of N; the
     per-iteration time is the slope.  `block_until_ready` on an unchained
     output can return early through tunneled PJRT plugins, and blocking
-    per iteration adds the tunnel RTT to every sample (CLAUDE.md)."""
+    per iteration adds the tunnel RTT to every sample (CLAUDE.md).
+
+    Median of ``reps`` independent slope estimates (VERDICT r3 #5:
+    single-shot slopes are host-jitter-prone through the tunnel);
+    returns (imgs_per_sec, spread)."""
     import jax
     import jax.numpy as jnp
 
@@ -47,9 +59,12 @@ def _throughput(fn, args, batch, iters=20, warmup=3):
 
     for _ in range(warmup):
         run(1)
-    t_small = run(2)
-    t_big = run(2 + iters)
-    return batch * iters / (t_big - t_small)
+    samples = []
+    for _ in range(reps):
+        t_small = run(2)
+        t_big = run(2 + iters)
+        samples.append(batch * iters / (t_big - t_small))
+    return _median_spread(samples)
 
 
 def _tpu_alive(timeout=180):
@@ -95,8 +110,9 @@ def main():
     # measurement (this harness host has one core).
     batch = (512 if on_tpu else 8) * n_chips
     images = jax.device_put(rng.randn(batch, h, w, 3).astype(np.float32))
-    ips_chip = _throughput(fn, (params, state, images), batch,
-                           iters=20 if on_tpu else 3) / n_chips
+    ips_chip, ips_spread = _throughput(fn, (params, state, images), batch,
+                                       iters=20 if on_tpu else 3)
+    ips_chip /= n_chips
 
     # baseline stand-in: unbatched single-image extraction (the reference's
     # one-image-per-RunNet inference loop).  Async batch-1 dispatches are
@@ -123,10 +139,17 @@ def main():
         float(jnp.sum(chained(params, state, img1, n)))
         return time.perf_counter() - t0
 
-    n_lo, n_hi = (4, 104) if on_tpu else (2, 6)
+    # VERDICT r3 #5 (ratio swung 2.25 -> 1.78 across rounds): longer
+    # chains + median-of-3 slope estimates, with the spread published so
+    # a drifting ratio is distinguishable from measurement noise.
+    n_lo, n_hi = (4, 204) if on_tpu else (2, 6)
     for n in (n_lo, n_hi):  # compile both trip counts
         run_chain(n)
-    ips_ref = (n_hi - n_lo) / (run_chain(n_hi) - run_chain(n_lo)) / n_chips
+    ref_samples = []
+    for _ in range(3 if on_tpu else 1):
+        ref_samples.append(
+            (n_hi - n_lo) / (run_chain(n_hi) - run_chain(n_lo)) / n_chips)
+    ips_ref, ref_spread = _median_spread(ref_samples)
 
     # absolute-throughput headline fields (VERDICT r2 #8): analytic fwd
     # FLOPs/img (utils/flops.py) -> achieved TFLOP/s and MFU vs the
@@ -157,7 +180,7 @@ def main():
             qparams = jax.device_put(quantize_for_eval(
                 model, params, state, np.asarray(images[:256])))
             ips_int8 = _throughput(fn, (qparams, state, images),
-                                   batch) / n_chips
+                                   batch)[0] / n_chips
         except Exception:
             pass
 
@@ -166,6 +189,8 @@ def main():
         'value': round(ips_chip, 2),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(ips_chip / ips_ref, 2),
+        'value_spread_pct': round(ips_spread * 100, 1),
+        'baseline_spread_pct': round(ref_spread * 100, 1),
         'tflops_per_chip': round(tflops, 1),
         'mfu': round(tflops * 1e12 / peak, 3) if peak else None,
         'int8_imgs_per_sec_per_chip': (round(ips_int8, 2)

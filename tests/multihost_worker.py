@@ -2,21 +2,25 @@
 
 Run as: python multihost_worker.py <coord_addr> <process_id> <num_procs>
 
-Each process owns 4 virtual CPU devices; together they form the 8-device
-(4 data x 2 model) mesh used by the single-host mesh tests.  Exercises
-shard_batch's jax.process_count() > 1 branch
-(pps_tpu/parallel/train_step.py) — the assembly of process-local batch
-shards into one global array — and checks that a jitted global-batch
-computation sees the *global* batch (the gradient-allreduce-by-GSPMD
-contract from parallel/train_step.py's module docstring).
+Together the processes own the same 8 virtual CPU devices as the
+single-host mesh tests (8 // num_procs each — 4+4 at 2 processes,
+2+2+2+2 at 4), forming the identical (4 data x 2 model) mesh with a
+different process boundary.  Exercises shard_batch's
+jax.process_count() > 1 branch (pps_tpu/parallel/train_step.py) — the
+assembly of process-local batch shards into one global array — and
+checks that a jitted global-batch computation sees the *global* batch
+(the gradient-allreduce-by-GSPMD contract from parallel/train_step.py's
+module docstring).
 """
 
 import os
 import sys
 
+_N_LOCAL = 8 // int(sys.argv[3]) if len(sys.argv) > 3 else 4
 os.environ['JAX_PLATFORMS'] = 'cpu'
-os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
-                           ' --xla_force_host_platform_device_count=4')
+os.environ['XLA_FLAGS'] = (
+    os.environ.get('XLA_FLAGS', '') +
+    ' --xla_force_host_platform_device_count=%d' % _N_LOCAL)
 
 import jax  # noqa: E402
 
@@ -192,7 +196,7 @@ def main():
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == 4 * nprocs
+    assert len(jax.devices()) == _N_LOCAL * nprocs
     if mode == 'train':
         train_mode(pid, sys.argv[5])
         return

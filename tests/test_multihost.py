@@ -127,20 +127,29 @@ def test_two_process_preempt_resume_bitwise(tmp_path):
         np.testing.assert_array_equal(cont[k], pre[k], err_msg=k)
 
 
-def test_two_process_flagship_train(tmp_path):
-    """Real multi-host TRAINING parity (VERDICT r2 #3): the flagship-tiny
-    train step (same cfg as dryrun_multichip — uint8 augment wire,
-    CRM+triplet, donation, optimizer) under 2-process jax.distributed vs
-    the single-process 8-device run.  Assertion fidelity is calibrated
-    per subsystem (see multihost_worker.train_mode for the measured
-    rationale): augmented global batch BITWISE, loss 1e-5 relative,
-    head-side updates tight, body updates bounded by their own update
-    magnitude (different XLA programs -> ulp reduction noise amplified
-    exponentially with backward depth), and orbax checkpoints cross
-    process counts both ways:
+import pytest
+
+
+@pytest.mark.parametrize('nprocs', [2, 4])
+def test_multiprocess_flagship_train(tmp_path, nprocs):
+    """Real multi-host TRAINING parity (VERDICT r2 #3; r3 #7 widened it
+    over process counts): the flagship-tiny train step (same cfg as
+    dryrun_multichip — uint8 augment wire, CRM+triplet, donation,
+    optimizer) under 2- and 4-process jax.distributed vs the
+    single-process 8-device run — the SAME global (4 data x 2 model)
+    mesh with a different process boundary (4+4 and 2+2+2+2 local
+    devices), which is exactly where process-count assumptions (local
+    row slicing, addressable-shard checkpoint writes) break.  Assertion
+    fidelity is calibrated per subsystem (see
+    multihost_worker.train_mode for the measured rationale): augmented
+    global batch BITWISE, loss 1e-5 relative, head-side updates tight,
+    body updates bounded by their own update magnitude (different XLA
+    programs -> ulp reduction noise amplified exponentially with
+    backward depth), and orbax checkpoints cross process counts both
+    ways:
       * parent saves the init state single-process -> workers restore it
-        into the 2-process sharded topology (reshard-on-restore),
-      * workers save the trained state from 2 processes -> parent
+        into the N-process sharded topology (reshard-on-restore),
+      * workers save the trained state from N processes -> parent
         restores it single-process and compares BITWISE against the
         workers' own fetched state (worker_state.npz)."""
     import numpy as np
@@ -172,24 +181,29 @@ def test_two_process_flagship_train(tmp_path):
     coord = '127.0.0.1:%d' % _free_port()
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
+    # stdout to FILES, not pipes: a worker that fills a 64 KB pipe while
+    # the parent drains a DIFFERENT process first blocks inside a
+    # collective and deadlocks the whole group (CLAUDE.md)
+    logs = [os.path.join(workdir, 'worker%d.log' % pid)
+            for pid in range(nprocs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coord, str(pid), '2', 'train',
-             workdir],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            text=True)
-        for pid in range(2)
+            [sys.executable, _WORKER, coord, str(pid), str(nprocs),
+             'train', workdir],
+            stdout=open(logs[pid], 'w'), stderr=subprocess.STDOUT,
+            env=env, text=True)
+        for pid in range(nprocs)
     ]
-    outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=560)
-            outs.append(out)
+            p.wait(timeout=560)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
+    for pid, p in enumerate(procs):
+        with open(logs[pid]) as f:
+            out = f.read()
         assert p.returncode == 0, 'process %d failed:\n%s' % (pid, out)
         assert 'MULTIHOST_AUG_BITWISE pid=%d' % pid in out, out
         assert 'MULTIHOST_TRAIN_OK pid=%d' % pid in out, out
