@@ -11,6 +11,7 @@ fidelity of the int8 path vs bf16 (cosine) so the speed number is tied
 to an accuracy bound.  Win-or-retire evidence for TPU.INT8_EVAL.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -41,6 +42,11 @@ def _throughput(fn, args, batch, iters=20, warmup=3):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--depth', type=int, default=50, choices=(50, 101, 152),
+                    help='ResNet body depth (does the bandwidth-bound '
+                         'int8 story hold as depth grows?)')
+    args = ap.parse_args()
     import jax
     from pps_tpu.utils.env import apply_platform_env, configure_jax_cache
     apply_platform_env()
@@ -50,7 +56,7 @@ def main():
     from pps_tpu.models.folding import fold_conv_bn
     from pps_tpu.models.quantize import quantize_for_eval
 
-    cfg = g._flagship_cfg()
+    cfg = g._flagship_cfg(depth=args.depth)
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     # plausible running stats so folding/quantization see realistic scales
@@ -100,6 +106,7 @@ def main():
         'int8_cosine_vs_bf16_mean': float(
             cos(feats['int8'], feats['bf16']).mean()),
         'calib_quantize_seconds': round(t_q, 1),
+        'depth': args.depth,
         'batch': batch,
         'device_kind': jax.devices()[0].device_kind,
     }))
