@@ -112,8 +112,6 @@ class QueryEmbedder:
 
     def __init__(self, cfg, model, params, state, mesh, max_batch=64):
         from pps_tpu.parallel import eval_step as es_lib
-        from pps_tpu.parallel import mesh as mesh_lib
-        self._cfg = cfg
         self._params = params
         self._state = state
         self._mesh = mesh
@@ -141,13 +139,30 @@ class QueryEmbedder:
                 return s
         return self.ladder[-1]
 
-    def warmup(self, decode_fn=None):
-        """Compile every ladder size for the uint8 wire (cache-hit cheap;
-        first-ever run pays the compiles here instead of under traffic)."""
-        h, w = self._out_hw
-        img = np.zeros((1, h, w, 3), np.uint8)
+    def warmup(self, raw_hw=None):
+        """Compile every ladder size of BOTH persistent wires before
+        traffic (cache-hit cheap; a cold compile through a degraded
+        compile service can take minutes and would otherwise land
+        inside the embed dispatcher thread, queueing every request
+        behind it).
+
+        The f32 wire's input shape is the fixed post-preproc
+        (out_h, out_w, 3) — warming it covers queries of EVERY raw
+        resolution via the host-preproc fallback.  The uint8 wire
+        specializes per RAW decode shape; pass ``raw_hw`` (e.g. the
+        gallery's camera geometry) to warm — and pin — that shape, else
+        it warms at the network input size and the first real embed
+        re-pins it (any later mismatch falls back to the warm f32
+        wire, never a cold compile)."""
+        h, w = (raw_hw if raw_hw is not None else self._out_hw)
+        img8 = np.zeros((1, h, w, 3), np.uint8)
+        oh, ow = self._out_hw
+        img32 = np.zeros((1, oh, ow, 3), np.float32)
         for s in self.ladder:
-            self._dispatch(self._fn_u8, np.tile(img, (s, 1, 1, 1)), s)
+            self._dispatch(self._fn_u8, np.tile(img8, (s, 1, 1, 1)), s)
+            self._dispatch(self._fn_f32, np.tile(img32, (s, 1, 1, 1)), s)
+        if raw_hw is not None:
+            self._u8_shape = (h, w, 3)
 
     def _dispatch(self, fn, stack, padded):
         n = stack.shape[0]
@@ -158,10 +173,25 @@ class QueryEmbedder:
         return np.asarray(feats, np.float32)[:n]
 
     def embed(self, paths, decode_fn=None):
-        """[len(paths), D] f32 embeddings of image files (blocking)."""
+        """[len(paths), D] f32 embeddings of image files (blocking).
+
+        Requests larger than the ladder cap are chunked through the top
+        ladder size — every dispatch stays on a pre-compiled shape, so
+        one oversized /add (index.add's docstring tells operators to
+        batch) can never force a fresh un-laddered XLA compile under
+        traffic."""
         from pps_tpu.data import transforms
         decode = decode_fn or transforms.decode_image
         ims = [decode(p) for p in paths]
+        cap = self.ladder[-1]
+        if len(ims) > cap:
+            return np.concatenate(
+                [self._embed_ims(ims[s:s + cap])
+                 for s in range(0, len(ims), cap)], axis=0)
+        return self._embed_ims(ims)
+
+    def _embed_ims(self, ims):
+        from pps_tpu.data import transforms
         padded = self._ladder_pad(len(ims))
         if all(im.shape == ims[0].shape for im in ims):
             # one uint8 raw shape per daemon lifetime (same rule as
@@ -525,22 +555,19 @@ class SearchBatcher:
         k, recall_target, exact, _ = key
         rows = np.concatenate([req[1] for req in group], axis=0)
         n = rows.shape[0]
-        b = self._bucket(n)
-        if b > n:  # pad to the bucket: scan cost is bytes, not rows
-            rows = np.concatenate(
-                [rows, np.repeat(rows[-1:], b - n, axis=0)], axis=0)
-        rerank = group[0][2]
-        if rerank is not None:
-            d, i, p = self.index.search_reranked(
-                rows, k, shortlist=rerank.get('shortlist', 100),
-                k1=rerank.get('k1', 20), k2=rerank.get('k2', 6),
-                lambda_value=rerank.get('lam', 0.3),
-                recall_target=recall_target,
-                engine=rerank.get('engine', 'auto'), return_paths=True)
+        if n > self.max_batch:
+            # a client-controlled multi-row request (or coalescing
+            # overshoot: _loop admits one more multi-row request past
+            # the cap) must not reach the scan at a raw un-bucketed nq
+            # — each fresh nq shape is a full XLA compile inside the
+            # index lock.  Chunk through the warmed max bucket instead.
+            chunks = [self._scan(key, rows[s:s + self.max_batch])
+                      for s in range(0, n, self.max_batch)]
+            d = np.concatenate([c[0] for c in chunks], axis=0)
+            i = np.concatenate([c[1] for c in chunks], axis=0)
+            p = [row for c in chunks for row in c[2]]
         else:
-            d, i, p = self.index.search(rows, k,
-                                        recall_target=recall_target,
-                                        exact=exact, return_paths=True)
+            d, i, p = self._scan(key, rows)
         self.dispatches += 1
         off = 0
         for _, qr, _, box, _ in group:
@@ -548,6 +575,29 @@ class SearchBatcher:
             box['out'] = (d[off:off + m], i[off:off + m],
                           p[off:off + m])
             off += m
+
+    def _scan(self, key, rows):
+        """One device scan at a warmed bucket shape; returns results for
+        the REAL rows only (pad rows never reach the host rerank)."""
+        k, recall_target, exact, rerank_key = key
+        n = rows.shape[0]
+        b = self._bucket(n)
+        if b > n:  # pad to the bucket: scan cost is bytes, not rows
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], b - n, axis=0)], axis=0)
+        if rerank_key is not None:
+            rerank = dict(rerank_key)
+            d, i, p = self.index.search_reranked(
+                rows, k, shortlist=rerank.get('shortlist', 100),
+                k1=rerank.get('k1', 20), k2=rerank.get('k2', 6),
+                lambda_value=rerank.get('lam', 0.3),
+                recall_target=recall_target,
+                engine=rerank.get('engine', 'auto'), return_paths=True,
+                n_valid=n)
+            return d, i, p
+        d, i, p = self.index.search(rows, k, recall_target=recall_target,
+                                    exact=exact, return_paths=True)
+        return d[:n], i[:n], p[:n]
 
     def _loop(self):
         while True:
@@ -948,7 +998,7 @@ class RetrievalIndex:
 
     def search_reranked(self, q_feats, k, shortlist=100, k1=20, k2=6,
                         lambda_value=0.3, recall_target=None, chunk=4096,
-                        engine='auto', return_paths=False):
+                        engine='auto', return_paths=False, n_valid=None):
         """Two-stage retrieval: device top-``shortlist``, then k-reciprocal
         re-ranking (Zhong et al., the reference evaluator's method —
         reference detectron/datasets/reid_dataset_evaluator.py:442-519) of
@@ -972,10 +1022,18 @@ class RetrievalIndex:
         single-query re-ranking (tested).  Returns (dists [Nq, k'],
         indices [Nq, k']) like ``search``; distances are the blended
         jaccard/original values (smaller = better), NOT euclidean.
+
+        ``n_valid``: only the first ``n_valid`` query rows are real (the
+        rest are bucket padding from the SearchBatcher, there so the
+        device shortlist scan runs at a pre-compiled shape) — the
+        per-row host rerank skips them and the outputs have ``n_valid``
+        rows.
         """
         q = np.asarray(q_feats, np.float32)
         if q.ndim == 1:
             q = q[None]
+        nq_real = q.shape[0] if n_valid is None else min(int(n_valid),
+                                                         q.shape[0])
         s = max(int(shortlist), int(k))
         # hold the (re-entrant) lock ONLY across shortlist scan + host
         # row/path snapshot: a concurrent remove() renumbers rows, so
@@ -984,12 +1042,12 @@ class RetrievalIndex:
         # math itself runs on the snapshot OUTSIDE the lock — it can take
         # ~ms/query (numpy engine: ~15 ms on one core), and holding the
         # index lock across it would stall every concurrent search for
-        # pure host work (measured in tools/bench_serve_load.py).
+        # pure host work (measured: tools/bench_serving.py --load).
         with self._lock:
             d0, i0 = self.search(q, s, recall_target=recall_target,
                                  chunk=chunk)
             snaps = []
-            for qi in range(q.shape[0]):
+            for qi in range(nq_real):
                 cand = i0[qi][i0[qi] >= 0]
                 rows = self._rows_f32(cand) if cand.size else None
                 cpaths = None
@@ -999,9 +1057,9 @@ class RetrievalIndex:
                               for j in cand]
                 snaps.append((cand, rows, cpaths))
         kk = min(int(k), i0.shape[1])
-        out_d = np.full((q.shape[0], kk), np.inf, np.float32)
-        out_i = np.full((q.shape[0], kk), -1, np.int64)
-        out_p = [[None] * kk for _ in range(q.shape[0])]
+        out_d = np.full((nq_real, kk), np.inf, np.float32)
+        out_i = np.full((nq_real, kk), -1, np.int64)
+        out_p = [[None] * kk for _ in range(nq_real)]
         for qi, (cand, rows, cpaths) in enumerate(snaps):
             if cand.size == 0:
                 continue

@@ -291,6 +291,25 @@ def test_query_embedder_matches_bulk_extraction(tmp_path):
         mixed, bulk[[0, 4]], atol=1e-4)
 
 
+def test_query_embedder_chunks_oversized_requests(tmp_path):
+    """A request larger than the ladder cap (e.g. one big /add) chunks
+    through the top ladder size: every dispatch stays on a pre-compiled
+    shape — no un-laddered batch ever reaches jit — and the features
+    still match the bulk path row for row."""
+    qe, paths, bulk = _embedder_fixture(tmp_path)
+    assert qe.ladder == (2, 8)
+    big = [paths[i % 4] for i in range(11)]  # uniform raw shape, n > 8
+    out = qe.embed(big)
+    assert out.shape == (11, bulk.shape[1])
+    np.testing.assert_allclose(out, bulk[[i % 4 for i in range(11)]],
+                               atol=1e-5)
+
+    # warmup(raw_hw=...) pins the uint8 wire to the gallery geometry
+    qe2, paths2, _ = _embedder_fixture(tmp_path)
+    qe2.warmup(raw_hw=(48, 24))
+    assert qe2._u8_shape == (48, 24, 3)
+
+
 def test_query_embedder_pins_one_uint8_shape(tmp_path):
     qe, paths, bulk = _embedder_fixture(tmp_path)
     # first uniform dispatch pins the uint8 graph to (48, 24, 3)

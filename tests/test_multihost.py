@@ -186,11 +186,12 @@ def test_multiprocess_flagship_train(tmp_path, nprocs):
     # collective and deadlocks the whole group (CLAUDE.md)
     logs = [os.path.join(workdir, 'worker%d.log' % pid)
             for pid in range(nprocs)]
+    log_fhs = [open(lp, 'w') for lp in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, coord, str(pid), str(nprocs),
              'train', workdir],
-            stdout=open(logs[pid], 'w'), stderr=subprocess.STDOUT,
+            stdout=log_fhs[pid], stderr=subprocess.STDOUT,
             env=env, text=True)
         for pid in range(nprocs)
     ]
@@ -201,6 +202,8 @@ def test_multiprocess_flagship_train(tmp_path, nprocs):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for fh in log_fhs:
+            fh.close()
     for pid, p in enumerate(procs):
         with open(logs[pid]) as f:
             out = f.read()

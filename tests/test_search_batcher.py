@@ -43,9 +43,14 @@ class StubIndex:
 
     def search_reranked(self, q, k, shortlist=100, k1=20, k2=6,
                         lambda_value=0.3, recall_target=None,
-                        engine='auto', return_paths=False, chunk=4096):
-        self.calls.append(('rerank', np.asarray(q).shape[0], k))
-        d, i, p = self._answer(q, k)
+                        engine='auto', return_paths=False, chunk=4096,
+                        n_valid=None):
+        q = np.asarray(q)
+        nv = q.shape[0] if n_valid is None else int(n_valid)
+        self.calls.append(('rerank', q.shape[0], k, nv))
+        if self.hold_first and len(self.calls) == 1:
+            self.gate.wait(20)
+        d, i, p = self._answer(q[:nv], k)
         return (d, i, p) if return_paths else (d, i)
 
 
@@ -114,7 +119,7 @@ def test_incompatible_keys_do_not_coalesce():
             t.join(20)
         # k=3 pair coalesced; k=5 and the rerank ran separately
         kinds = sorted(idx.calls[1:])
-        assert kinds == [('rerank', 1, 3), ('search', 1, 5),
+        assert kinds == [('rerank', 1, 3, 1), ('search', 1, 5),
                          ('search', 4, 3)], idx.calls
         assert outs['k5'][0].shape == (1, 5)
         assert outs['rr'][0].shape == (1, 3)
@@ -210,5 +215,96 @@ def test_buckets_shape():
         b2 = SearchBatcher(idx, max_batch=10)
         assert b2.buckets() == [1, 4, 10]
         b2.close()
+    finally:
+        b.close()
+
+
+def test_oversized_request_chunks_through_warmed_buckets():
+    """A client-controlled multi-row request larger than max_batch must
+    never reach the scan at a raw un-bucketed nq (each fresh nq shape is
+    a full XLA compile inside the index lock): it chunks through the max
+    bucket, and every caller row still comes back in order."""
+    idx = StubIndex()
+    b = SearchBatcher(idx, max_batch=4)
+    try:
+        q = np.arange(10, dtype=np.float32)[:, None] * np.ones(
+            (1, 4), np.float32)
+        d, i, p = b.search(q, k=2)
+        assert d.shape == (10, 2)
+        assert [int(v) for v in i[:, 0]] == list(range(10))
+        assert [row[0] for row in p] == ['p%d' % v for v in range(10)]
+        # 3 scans: 4 + 4 + 2->padded-to-4; every nq is a warmed bucket
+        assert [c[1] for c in idx.calls] == [4, 4, 4], idx.calls
+        assert b.dispatches == 1  # one logical dispatch for the caller
+    finally:
+        b.close()
+
+
+def test_coalescing_overshoot_stays_on_bucket_shapes():
+    """_loop admits one more multi-row request past max_batch; the
+    overshoot must chunk to bucket shapes, not dispatch at nq=5."""
+    idx = StubIndex()
+    idx.hold_first = True
+    b = SearchBatcher(idx, max_batch=4)
+    try:
+        results = {}
+
+        def worker(name, rows):
+            q = np.asarray(rows, np.float32)[:, None] * np.ones(
+                (1, 4), np.float32)
+            results[name] = b.search(q, k=2)
+
+        first = threading.Thread(target=worker, args=('warm', [9.0]))
+        first.start()
+        time.sleep(0.3)
+        ts = [threading.Thread(target=worker, args=('a', [1.0, 2.0, 3.0])),
+              threading.Thread(target=worker, args=('b', [4.0, 5.0]))]
+        for t in ts:
+            t.start()
+        time.sleep(0.3)
+        idx.gate.set()
+        first.join(20)
+        for t in ts:
+            t.join(20)
+        # 5 coalesced rows chunk as 4 + 1; no call sees nq=5
+        assert all(c[1] in (1, 4) for c in idx.calls), idx.calls
+        assert [int(v) for v in results['a'][1][:, 0]] == [1, 2, 3]
+        assert [int(v) for v in results['b'][1][:, 0]] == [4, 5]
+    finally:
+        b.close()
+
+
+def test_rerank_groups_do_not_rerank_pad_rows():
+    """Bucket padding is free for the device scan but NOT for the
+    O(S^2) host rerank (~15 ms/query on one core): the batcher must
+    tell search_reranked how many rows are real."""
+    idx = StubIndex()
+    idx.hold_first = True
+    b = SearchBatcher(idx, max_batch=16)
+    try:
+        results = {}
+
+        def worker(v):
+            q = np.full((1, 4), float(v), np.float32)
+            results[v] = b.search(q, k=2, rerank={'shortlist': 8})
+
+        first = threading.Thread(target=worker, args=(7,))
+        first.start()
+        time.sleep(0.3)
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        time.sleep(0.3)
+        idx.gate.set()
+        first.join(20)
+        for t in ts:
+            t.join(20)
+        for v in (7, 0, 1):
+            assert int(results[v][1][0, 0]) == v
+        # the coalesced pair padded its SCAN to bucket 4 but reranked
+        # only the 2 real rows
+        rr = [c for c in idx.calls if c[0] == 'rerank']
+        assert rr == [('rerank', 1, 2, 1), ('rerank', 4, 2, 2)], idx.calls
     finally:
         b.close()

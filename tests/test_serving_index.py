@@ -185,6 +185,23 @@ def test_search_reranked_shortlist_and_independence():
         np.testing.assert_array_equal(d1[0], d[qi])
 
 
+def test_search_reranked_n_valid_skips_pad_rows():
+    """n_valid semantics (the SearchBatcher's bucket-padding contract):
+    results equal the un-padded call row for row, and the outputs carry
+    only the real rows."""
+    q, g = _data(nq=5, seed=11)
+    idx = RetrievalIndex(g, ['p%d' % i for i in range(len(g))], int8=False)
+    padded = np.concatenate([q[:2], np.repeat(q[1:2], 3, axis=0)], axis=0)
+    d_v, i_v, p_v = idx.search_reranked(padded, k=4, shortlist=16,
+                                        return_paths=True, n_valid=2)
+    d_r, i_r, p_r = idx.search_reranked(q[:2], k=4, shortlist=16,
+                                        return_paths=True)
+    assert d_v.shape == (2, 4) and i_v.shape == (2, 4)
+    np.testing.assert_array_equal(i_v, i_r)
+    np.testing.assert_allclose(d_v, d_r)
+    assert p_v == p_r
+
+
 def test_search_reranked_k_larger_than_shortlist():
     q, g = _data(ng=50, nq=2, seed=10)
     idx = RetrievalIndex(g, list(range(len(g))), int8=False)

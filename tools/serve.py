@@ -611,9 +611,20 @@ def main():
     # With --load-index the stored paths may not exist on this host, so
     # warm the embed through a synthetic image and search with its output.
     t0 = time.time()
-    embedder.warmup()  # every ladder batch size of the uint8 wire
-    logger.info('embed ladder %s warmed in %.1f s', embedder.ladder,
-                time.time() - t0)
+    # every ladder batch size of BOTH wires; with a gallery on disk the
+    # uint8 wire warms (and pins) at the gallery's own raw geometry —
+    # the shape real queries from the same cameras arrive in
+    raw_hw = None
+    if not args.load_index and len(index.paths):
+        try:
+            from pps_tpu.data.transforms import decode_image
+            raw_hw = decode_image(index.paths[0]).shape[:2]
+        except Exception:
+            raw_hw = None
+    embedder.warmup(raw_hw=raw_hw)
+    logger.info('embed ladder %s warmed in %.1f s (u8 raw %s)',
+                embedder.ladder, time.time() - t0,
+                raw_hw or embedder._out_hw)
     if args.load_index:
         import cv2
         h, w = cfg.REID.SCALE[1], cfg.REID.SCALE[0]
