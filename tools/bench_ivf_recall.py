@@ -128,6 +128,11 @@ def main():
     ap.add_argument('--topk', type=int, default=100)
     ap.add_argument('--embed-batch', type=int, default=256)
     ap.add_argument('--nprobes', default='2,4,8,16,32')
+    ap.add_argument('--workdir', default='/root/.pps_ivf_recall',
+                    help='cache dir for the trained embeddings: train + '
+                         'embed are the expensive stages (tens of '
+                         'minutes through the tunnel), so re-runs of '
+                         'the sweep load them from here')
     args = ap.parse_args()
 
     import jax
@@ -147,41 +152,58 @@ def main():
     mesh = mesh_lib.build_mesh(cfg)
     w, h = cfg.REID.SCALE
 
-    bases = make_identities(args.n_ids, h, w, seed=0)
-    t0 = time.time()
-    params, state, loss = train_flagship(cfg, model, mesh, bases,
-                                         args.train_steps)
-    t_train = time.time() - t0
-    print('trained %d steps in %.1f s (loss %.3f)'
-          % (args.train_steps, t_train, loss), file=sys.stderr, flush=True)
-
-    # embed gallery + queries through the batched extraction path
-    extract = es_lib.make_extract_fn(
-        model, mesh, flip_tta=False,
-        device_preproc=(np.asarray(cfg.PIXEL_MEANS), (h, w)))
-    rng = np.random.RandomState(7)
-
-    def embed_stream(n_rows, owner_of):
-        feats, bs = [], args.embed_batch
-        for s in range(0, n_rows, bs):
-            ims = np.stack([jitter(bases[owner_of(i)], rng)
-                            for i in range(s, min(s + bs, n_rows))])
-            pad = bs - ims.shape[0]
-            if pad:
-                ims = np.concatenate([ims, np.tile(ims[-1:],
-                                                   (pad, 1, 1, 1))])
-            f = np.asarray(extract(params, state, ims), np.float32)
-            feats.append(f[:bs - pad])
-            if s % (bs * 16) == 0:
-                print('embedded %d/%d' % (s, n_rows), file=sys.stderr,
-                      flush=True)
-        return np.concatenate(feats)
-
     ng = args.n_ids * args.per_id
-    t0 = time.time()
-    gal = embed_stream(ng, lambda i: i % args.n_ids)
-    qv = embed_stream(args.queries, lambda i: i % args.n_ids)
-    t_embed = time.time() - t0
+    cache = os.path.join(
+        args.workdir, 'embeds_ids%d_per%d_q%d_steps%d.npz'
+        % (args.n_ids, args.per_id, args.queries, args.train_steps))
+    if os.path.exists(cache):
+        data = np.load(cache)
+        gal, qv = data['gal'], data['qv']
+        loss = float(data['loss'])
+        t_train = t_embed = 0.0
+        print('loaded cached embeddings %s (%d x %d)'
+              % (cache, gal.shape[0], gal.shape[1]), file=sys.stderr,
+              flush=True)
+    else:
+        bases = make_identities(args.n_ids, h, w, seed=0)
+        t0 = time.time()
+        params, state, loss = train_flagship(cfg, model, mesh, bases,
+                                             args.train_steps)
+        t_train = time.time() - t0
+        print('trained %d steps in %.1f s (loss %.3f)'
+              % (args.train_steps, t_train, loss), file=sys.stderr,
+              flush=True)
+
+        # embed gallery + queries through the batched extraction path
+        extract = es_lib.make_extract_fn(
+            model, mesh, flip_tta=False,
+            device_preproc=(np.asarray(cfg.PIXEL_MEANS), (h, w)))
+        rng = np.random.RandomState(7)
+
+        def embed_stream(n_rows, owner_of):
+            feats, bs = [], args.embed_batch
+            for s in range(0, n_rows, bs):
+                ims = np.stack([jitter(bases[owner_of(i)], rng)
+                                for i in range(s, min(s + bs, n_rows))])
+                pad = bs - ims.shape[0]
+                if pad:
+                    ims = np.concatenate([ims, np.tile(ims[-1:],
+                                                       (pad, 1, 1, 1))])
+                f = np.asarray(extract(params, state, ims), np.float32)
+                feats.append(f[:bs - pad])
+                if s % (bs * 16) == 0:
+                    print('embedded %d/%d' % (s, n_rows), file=sys.stderr,
+                          flush=True)
+            return np.concatenate(feats)
+
+        t0 = time.time()
+        gal = embed_stream(ng, lambda i: i % args.n_ids)
+        qv = embed_stream(args.queries, lambda i: i % args.n_ids)
+        t_embed = time.time() - t0
+        os.makedirs(args.workdir, exist_ok=True)
+        np.savez(cache, gal=gal, qv=qv, loss=np.float32(loss))
+        print('cached embeddings to %s' % cache, file=sys.stderr,
+              flush=True)
 
     # serving int8 layout; exact GT over the same representation
     g8, sc = quantize_gallery(gal)
@@ -209,9 +231,14 @@ def main():
                                   k=args.topk, nprobe=nprobe,
                                   budget=budget, chunk=1024,
                                   g_scale=sd_s)
-        got = perm[np.clip(np.asarray(pos), 0, ng - 1)]
+        pos = np.asarray(pos)
+        # unfilled probe slots come back -1 (probed cells held fewer
+        # than k candidates): drop them — clipping would count perm[0]
+        # as retrieved and inflate the recall this tool exists to
+        # measure honestly
+        got = np.where(pos >= 0, perm[np.clip(pos, 0, ng - 1)], -1)
         sweep[nprobe] = round(float(np.mean(
-            [len(set(got[r].tolist()) & set(ei[r].tolist()))
+            [len(set(got[r][got[r] >= 0].tolist()) & set(ei[r].tolist()))
              / ei.shape[1] for r in range(args.queries)])), 4)
 
     print(json.dumps({

@@ -121,13 +121,18 @@ def _start_server(args, work, mode, npz, extra):
 def _run_level(host, port, conc, duration, warmup, pngs, qparam):
     """Closed-loop client pool: `conc` keep-alive HTTP clients hammer
     /search for `duration` seconds; samples inside the warmup window
-    are discarded.  Returns (latencies_ms sorted, qps, n_shed, n_err)."""
+    are discarded.  Returns (latencies_ms sorted, qps, n_shed, err_kinds)
+    where err_kinds counts CLIENT-side exceptions by class (each one
+    also forces a reconnect) — kept separate from HTTP-status errors so
+    a contended client pool (this harness host has one core) is
+    distinguishable from server failures in the recorded rows."""
     import http.client
     import threading
     t_start = time.time()
     stop_at = t_start + warmup + duration
     lock = threading.Lock()
-    samples, shed, errs = [], [0], [0]
+    samples, shed, http_errs = [], [0], [0]
+    err_kinds = {}
 
     def worker(tid):
         conn = http.client.HTTPConnection(host, port, timeout=120)
@@ -145,12 +150,13 @@ def _run_level(host, port, conc, duration, warmup, pngs, qparam):
                     if resp.status == 503:
                         shed[0] += 1
                     elif resp.status != 200:
-                        errs[0] += 1
+                        http_errs[0] += 1
                     elif ts >= t_start + warmup:
                         samples.append(ms)
-            except Exception:
+            except Exception as e:  # noqa: BLE001 - classify + reconnect
+                kind = type(e).__name__
                 with lock:
-                    errs[0] += 1
+                    err_kinds[kind] = err_kinds.get(kind, 0) + 1
                 try:
                     conn.close()
                 except Exception:
@@ -168,7 +174,9 @@ def _run_level(host, port, conc, duration, warmup, pngs, qparam):
     for t in threads:
         t.join()
     samples.sort()
-    return samples, len(samples) / duration, shed[0], errs[0]
+    if http_errs[0]:
+        err_kinds['http_status'] = http_errs[0]
+    return samples, len(samples) / duration, shed[0], err_kinds
 
 
 def run_load(args):
@@ -239,7 +247,7 @@ def run_load(args):
                 qparam = '&rerank=1' if mode == 'rerank' else ''
                 for conc in levels:
                     s0 = _http_json(base + '/stats')
-                    lats, qps, n_shed, n_err = _run_level(
+                    lats, qps, n_shed, err_kinds = _run_level(
                         host, port, conc, args.load_duration,
                         args.load_warmup, pngs, qparam)
                     s1 = _http_json(base + '/stats')
@@ -262,7 +270,9 @@ def run_load(args):
                         'qps': round(qps, 1),
                         'p50_ms': pct(0.50), 'p95_ms': pct(0.95),
                         'p99_ms': pct(0.99), 'n': len(lats),
-                        'shed': n_shed, 'errors': n_err,
+                        'shed': n_shed,
+                        'errors': sum(err_kinds.values()),
+                        'error_kinds': err_kinds or None,
                         'embed_dispatches': delta('embed', 'dispatches'),
                         'embed_images': delta('embed', 'images'),
                         'search_dispatches': delta('search',
