@@ -211,10 +211,23 @@ def main():
         return (jnp.sum(dd) + jnp.sum(ii)).astype(jnp.float32)
     results['flat_int8_refined'] = chain(dep_flat_ref)(args.iters) * 1e3
 
+    # measured speed-of-light: the fastest program that READS every
+    # gallery byte — a carry-dependent elementwise xor fused into one
+    # reduction (no HBM writes; the xor ties each iteration to the
+    # chain carry so XLA cannot hoist the read out of the scan).  The
+    # analytic 800 GB/s bound assumes spec-sheet bandwidth; a dot can
+    # only ever reach THIS number.
+    def dep_pure_read(qf, g, s, gnorm):
+        tweak = jnp.sum(qf).astype(jnp.int8)
+        return jnp.sum((g ^ tweak).astype(jnp.float32))
+    results['pure_read'] = chain(dep_pure_read)(args.iters) * 1e3
+
     bw_bound_ms = (ng * d) / 800e9 * 1e3  # one int8 gallery read
     out = {
         'gallery_size': ng, 'dim': d, 'topk': k, 'nq': nq,
         'bandwidth_bound_ms': round(bw_bound_ms, 2),
+        'measured_read_GBps': round((ng * d) / results['pure_read'] / 1e6,
+                                    1),
         'latency_ms': {kk: round(vv, 3) for kk, vv in results.items()},
         'checks': checks,
         'device_kind': jax.devices()[0].device_kind,
