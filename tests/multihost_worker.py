@@ -197,6 +197,20 @@ def main():
                                num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == _N_LOCAL * nprocs
+    # one cross-process collective up front, while the processes are
+    # still within moments of each other.  The CPU backend's Gloo
+    # contexts are created lazily PER PROGRAM INSTANCE under a hard
+    # ~30 s rendezvous deadline (key "cpu:gloo/<devices>/<instance>"),
+    # so this cannot pre-create the contexts later programs will need —
+    # it only bounds startup skew.  The real failure mode (observed
+    # twice, reproduced, then passed clean on a quiet host): heavy
+    # UNRELATED host load lets one worker finish compiling the train
+    # step >30 s before its peer, and the step's own context rendezvous
+    # times out.  Real TPU pods ride ICI, not Gloo — CPU-emulation
+    # artifact; do not run these tests concurrently with other heavy
+    # jobs on a 1-core host (CLAUDE.md).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('startup-skew-barrier')
     if mode == 'train':
         train_mode(pid, sys.argv[5])
         return
