@@ -139,14 +139,19 @@ def main():
         float(jnp.sum(chained(params, state, img1, n)))
         return time.perf_counter() - t0
 
-    # VERDICT r3 #5 (ratio swung 2.25 -> 1.78 across rounds): longer
-    # chains + median-of-3 slope estimates, with the spread published so
-    # a drifting ratio is distinguishable from measurement noise.
-    n_lo, n_hi = (4, 204) if on_tpu else (2, 6)
+    # VERDICT r3 #5 (ratio swung 2.25 -> 1.78 across rounds): the
+    # batch-1 device signal must dominate the tunnel-RTT jitter.  At a
+    # 204-chain the signal (~50 ms) EQUALS the per-readback RTT noise —
+    # measured back-to-back medians of 2.03 and 1.21 this round.  A
+    # 2004-chain puts ~480 ms of device time behind each readback
+    # (lax.scan compile time is trip-count-independent), and 5 reps'
+    # median rides out the stragglers; the spread is published so a
+    # drifting ratio stays distinguishable from noise.
+    n_lo, n_hi = (4, 2004) if on_tpu else (2, 6)
     for n in (n_lo, n_hi):  # compile both trip counts
         run_chain(n)
     ref_samples = []
-    for _ in range(3 if on_tpu else 1):
+    for _ in range(5 if on_tpu else 1):
         ref_samples.append(
             (n_hi - n_lo) / (run_chain(n_hi) - run_chain(n_lo)) / n_chips)
     ips_ref, ref_spread = _median_spread(ref_samples)
