@@ -283,13 +283,25 @@ def run_load(args):
                     print(json.dumps(row), flush=True)
         finally:
             proc.terminate()
-            proc.wait(timeout=60)
+            try:
+                # a server started with --save-index re-saves the placed
+                # rows on graceful shutdown — 4+ GB of npz for the 1M
+                # gallery, well past a casual timeout
+                proc.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                print('server (%s) still saving after 600 s; killing'
+                      % group[0], file=sys.stderr)
+                proc.kill()
+                proc.wait(timeout=60)
+            # collected rows must survive a teardown failure: rewrite
+            # the artifact after every mode group
+            out_path = os.path.join(work, 'LOADBENCH.json')
+            with open(out_path, 'w') as f:
+                json.dump({'gallery_size': args.gallery_size,
+                           'duration_s': args.load_duration,
+                           'levels': levels, 'results': results},
+                          f, indent=1)
 
-    out_path = os.path.join(work, 'LOADBENCH.json')
-    with open(out_path, 'w') as f:
-        json.dump({'gallery_size': args.gallery_size,
-                   'duration_s': args.load_duration,
-                   'levels': levels, 'results': results}, f, indent=1)
     print(json.dumps({'loadbench': out_path, 'rows': len(results)}))
 
 
