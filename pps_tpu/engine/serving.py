@@ -151,9 +151,10 @@ class QueryEmbedder:
         resolution via the host-preproc fallback.  The uint8 wire
         specializes per RAW decode shape; pass ``raw_hw`` (e.g. the
         gallery's camera geometry) to warm — and pin — that shape, else
-        it warms at the network input size and the first real embed
-        re-pins it (any later mismatch falls back to the warm f32
-        wire, never a cold compile)."""
+        it warms and pins at the network input size.  Either way the
+        pinned shape is exactly the warmed one, so any later mismatch
+        falls back to the warm f32 wire — never a cold compile inside
+        the dispatcher thread."""
         h, w = (raw_hw if raw_hw is not None else self._out_hw)
         img8 = np.zeros((1, h, w, 3), np.uint8)
         oh, ow = self._out_hw
@@ -161,8 +162,10 @@ class QueryEmbedder:
         for s in self.ladder:
             self._dispatch(self._fn_u8, np.tile(img8, (s, 1, 1, 1)), s)
             self._dispatch(self._fn_f32, np.tile(img32, (s, 1, 1, 1)), s)
-        if raw_hw is not None:
-            self._u8_shape = (h, w, 3)
+        # Pin unconditionally: an unpinned shape after warmup would let the
+        # first uniform-raw-shape embed pin an UNWARMED shape and compile
+        # _fn_u8 cold under traffic (advisor r4, serving.py:142).
+        self._u8_shape = (h, w, 3)
 
     def _dispatch(self, fn, stack, padded):
         n = stack.shape[0]
@@ -478,7 +481,10 @@ class SearchBatcher:
                             else max(1, int(max_pending)))
         self._q = queue.Queue()
         self._closed = False
-        self.dispatches = 0                   # device scans issued
+        self.dispatches = 0                   # logical dispatches (one
+        #   per coalesced group; an oversized group still counts once)
+        self.device_scans = 0                 # real device scans issued
+        #   (>= dispatches: oversized groups chunk into several scans)
         self.queries = 0                      # query rows scanned
         self.shed = 0                         # requests refused
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -560,9 +566,12 @@ class SearchBatcher:
             # overshoot: _loop admits one more multi-row request past
             # the cap) must not reach the scan at a raw un-bucketed nq
             # — each fresh nq shape is a full XLA compile inside the
-            # index lock.  Chunk through the warmed max bucket instead.
-            chunks = [self._scan(key, rows[s:s + self.max_batch])
-                      for s in range(0, n, self.max_batch)]
+            # index lock.  Chunk through the warmed max bucket instead,
+            # under one index snapshot so a remove() between chunks
+            # cannot renumber rows mid-response (advisor r4).
+            with self.index.snapshot():
+                chunks = [self._scan(key, rows[s:s + self.max_batch])
+                          for s in range(0, n, self.max_batch)]
             d = np.concatenate([c[0] for c in chunks], axis=0)
             i = np.concatenate([c[1] for c in chunks], axis=0)
             p = [row for c in chunks for row in c[2]]
@@ -580,6 +589,7 @@ class SearchBatcher:
         """One device scan at a warmed bucket shape; returns results for
         the REAL rows only (pad rows never reach the host rerank)."""
         k, recall_target, exact, rerank_key = key
+        self.device_scans += 1
         n = rows.shape[0]
         b = self._bucket(n)
         if b > n:  # pad to the bucket: scan cost is bytes, not rows
@@ -696,6 +706,14 @@ class RetrievalIndex:
 
     def __len__(self):
         return len(self.paths)
+
+    def snapshot(self):
+        """Context manager pinning the index state (row numbering,
+        centroids, paths) for the duration of a multi-call read — e.g.
+        a chunked oversized search whose chunks must all see the same
+        numbering even if a remove() is waiting.  Re-entrant with the
+        internal lock the individual calls take."""
+        return self._lock
 
     @property
     def dim(self):

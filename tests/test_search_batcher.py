@@ -6,6 +6,7 @@ Pure threading tests against a stub index (the device-facing behavior
 rides the real RetrievalIndex in test_serve.py's daemon e2e).
 """
 
+import contextlib
 import threading
 import time
 
@@ -23,6 +24,16 @@ class StubIndex:
         self.calls = []          # (kind, nq, k)
         self.gate = threading.Event()
         self.hold_first = False
+        self.in_snapshot = False
+        self.snapshot_scans = 0  # scans issued while snapshot() was held
+
+    @contextlib.contextmanager
+    def snapshot(self):
+        self.in_snapshot = True
+        try:
+            yield
+        finally:
+            self.in_snapshot = False
 
     def _answer(self, q, k):
         q = np.asarray(q)
@@ -34,6 +45,7 @@ class StubIndex:
     def search(self, q, k, recall_target=None, exact=False,
                return_paths=False, chunk=4096):
         self.calls.append(('search', np.asarray(q).shape[0], k))
+        self.snapshot_scans += int(self.in_snapshot)
         if self.hold_first and len(self.calls) == 1:
             self.gate.wait(20)
         if np.any(np.asarray(q) < 0):
@@ -48,6 +60,7 @@ class StubIndex:
         q = np.asarray(q)
         nv = q.shape[0] if n_valid is None else int(n_valid)
         self.calls.append(('rerank', q.shape[0], k, nv))
+        self.snapshot_scans += int(self.in_snapshot)
         if self.hold_first and len(self.calls) == 1:
             self.gate.wait(20)
         d, i, p = self._answer(q[:nv], k)
@@ -236,6 +249,10 @@ def test_oversized_request_chunks_through_warmed_buckets():
         # 3 scans: 4 + 4 + 2->padded-to-4; every nq is a warmed bucket
         assert [c[1] for c in idx.calls] == [4, 4, 4], idx.calls
         assert b.dispatches == 1  # one logical dispatch for the caller
+        assert b.device_scans == 3  # telemetry counts the real scans
+        # all 3 chunks ran under ONE index snapshot: a remove() between
+        # chunks cannot renumber rows mid-response (advisor r4)
+        assert idx.snapshot_scans == 3, idx.snapshot_scans
     finally:
         b.close()
 

@@ -153,9 +153,23 @@ def main():
     w, h = cfg.REID.SCALE
 
     ng = args.n_ids * args.per_id
+    # fingerprint the model/config into the cache key: a sweep must not
+    # silently report recall for embeddings of a model that no longer
+    # exists (advisor r4).  cfg dump covers architecture knobs; the
+    # extraction-path source files cover code changes.
+    import hashlib
+    fp = hashlib.md5()
+    fp.update(repr(sorted(cfg.items(), key=lambda kv: kv[0])).encode())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in ('pps_tpu/models/model.py', 'pps_tpu/models/resnet.py',
+                'pps_tpu/models/heads.py', 'pps_tpu/parallel/eval_step.py',
+                'pps_tpu/data/device_preprocess.py'):
+        with open(os.path.join(root, rel), 'rb') as f:
+            fp.update(f.read())
     cache = os.path.join(
-        args.workdir, 'embeds_ids%d_per%d_q%d_steps%d.npz'
-        % (args.n_ids, args.per_id, args.queries, args.train_steps))
+        args.workdir, 'embeds_ids%d_per%d_q%d_steps%d_%s.npz'
+        % (args.n_ids, args.per_id, args.queries, args.train_steps,
+           fp.hexdigest()[:10]))
     if os.path.exists(cache):
         data = np.load(cache)
         gal, qv = data['gal'], data['qv']

@@ -155,7 +155,11 @@ class ServerState(object):
         se = s.get('search')
         if se:
             emit('search_dispatches_total', 'counter', se['dispatches'],
-                 'device gallery-scan dispatches')
+                 'logical gallery-scan dispatches (coalesced groups)')
+            emit('search_device_scans_total', 'counter',
+                 se['device_scans'],
+                 'real device gallery scans (>= dispatches: oversized '
+                 'groups chunk)')
             emit('search_queries_total', 'counter', se['queries'],
                  'query rows scanned')
             emit('search_pending', 'gauge', se['pending'],
@@ -191,6 +195,7 @@ class ServerState(object):
                 sd, sq = sb.dispatches, sb.queries
                 out['search'] = {
                     'dispatches': sd, 'queries': sq,
+                    'device_scans': sb.device_scans,
                     'avg_batch': round(sq / sd, 2) if sd else None,
                     'pending': sb.pending(), 'shed': sb.shed}
             if lat.size:
