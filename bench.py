@@ -67,6 +67,62 @@ def _throughput(fn, args, batch, iters=20, warmup=3, reps=3):
     return _median_spread(samples)
 
 
+def _device_canary(reps=3, n_chain=50, size=4096):
+    """Device-health canary: one fixed-size chained bf16 matmul of known
+    analytic cost, slope-timed.  Returns achieved TFLOP/s.
+
+    Round 4 shipped a 20x-degraded headline (459 imgs/s vs 9350 measured
+    the same day; BENCH_r04.json vs BASELINE.md) because the chip/tunnel
+    was unhealthy at driver-snapshot time and bench.py had no way to tell
+    a slow framework from a slow chip.  The canary is framework-free: if
+    IT is slow, the environment is degraded and the headline is marked
+    as such rather than published as the framework's number."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    r = np.random.RandomState(0)
+    x = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
+    w = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
+
+    @partial(jax.jit, static_argnums=2)
+    def chain(x, w, n):
+        def body(c, _):
+            c = jnp.dot(c, w)
+            return c / jnp.max(jnp.abs(c)), None
+        return jax.lax.scan(body, x, None, length=n)[0]
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(x, w, n).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    n_lo, n_hi = 2, 2 + n_chain
+    for n in (n_lo, n_hi):
+        run(n)  # compile both trip counts
+    samples = []
+    for _ in range(reps):
+        dt = run(n_hi) - run(n_lo)
+        samples.append(2 * size**3 * n_chain / dt / 1e12)
+    return _median_spread(samples)[0]
+
+
+# Minimum healthy canary TFLOP/s per device kind.  A healthy chip runs the
+# 4096^3 bf16 canary at ~peak (measured 207 TFLOP/s on v5e whose nominal
+# peak is 197); the r04 degradation was 20x down.  The floor is 25% of
+# bf16 peak — far below any healthy reading, far above any degraded one.
+_CANARY_FLOOR = {'v5 lite': 49.0, 'v5e': 49.0, 'v5p': 115.0,
+                 'v4': 69.0, 'v6': 230.0, 'trillium': 230.0}
+
+
+def _canary_floor(kind):
+    kind = kind.lower()
+    for key, floor in _CANARY_FLOOR.items():
+        if key in kind:
+            return floor
+    return 10.0  # unknown device kind: only catastrophic degradation trips
+
+
 def _tpu_alive(timeout=180):
     """Probe TPU initialization in a child process with a hard timeout.
 
@@ -95,6 +151,22 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     from pps_tpu.utils.env import configure_jax_cache
     configure_jax_cache()
+
+    # Device-health gate (VERDICT r4 #1): measure a framework-free canary
+    # before anything else; if the chip/tunnel is degraded, back off once
+    # and retry, and if still degraded publish degraded=true so the driver
+    # snapshot records an environment artifact, not a framework number.
+    canary_tflops = None
+    degraded = False
+    if on_tpu:
+        kind = jax.devices()[0].device_kind
+        floor = _canary_floor(kind)
+        canary_tflops = _device_canary()
+        if canary_tflops < floor:
+            time.sleep(60)  # transient tunnel/compile-service stalls pass
+            canary_tflops = max(canary_tflops, _device_canary())
+        degraded = canary_tflops < floor
+
     import __graft_entry__ as g
     from pps_tpu.models.model import build_model
 
@@ -189,6 +261,15 @@ def main():
         except Exception:
             pass
 
+    # Post-measurement canary: degradation that sets in DURING the bench
+    # (the r04 failure mode could strike at any point) must also mark the
+    # line.  The canary program is already compiled, so this is ~100 ms.
+    if on_tpu:
+        canary_after = _device_canary(reps=1)
+        canary_tflops = min(canary_tflops, canary_after)
+        degraded = degraded or canary_after < _canary_floor(
+            jax.devices()[0].device_kind)
+
     print(json.dumps({
         'metric': 'gallery_extract_imgs_per_sec_per_chip',
         'value': round(ips_chip, 2),
@@ -200,6 +281,9 @@ def main():
         'mfu': round(tflops * 1e12 / peak, 3) if peak else None,
         'int8_imgs_per_sec_per_chip': (round(ips_int8, 2)
                                        if ips_int8 else None),
+        'canary_tflops': (round(canary_tflops, 1)
+                          if canary_tflops is not None else None),
+        'degraded': degraded,
         'device_kind': (jax.devices()[0].device_kind if on_tpu else
                         'cpu-fallback (TPU tunnel down; value is a '
                         'liveness signal, not a measurement)'),

@@ -377,26 +377,28 @@ def merge_cfg_from_cfg(cfg_other):
 
 
 def merge_cfg_from_list(cfg_list):
-    """Merge config keys/values in a list (e.g. from command line) into the
-    global config. e.g. ``['TEST.NMS', 0.5]``.
+    """Apply ``KEY VALUE`` pairs from the CLI remainder to the global
+    config, e.g. ``['SOLVER.BASE_LR', '0.02', 'REID.CRM', 'True']``.
+
+    Same key vetting and value fitting as the yaml path: deprecated
+    keys are skipped, renamed keys error with the new name, and the
+    value must fit the slot's existing type (see ``_fit_slot``).
     """
-    assert len(cfg_list) % 2 == 0
-    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+    assert len(cfg_list) % 2 == 0, (
+        'override list must be KEY VALUE pairs, got an odd-length list')
+    for full_key, raw in zip(cfg_list[0::2], cfg_list[1::2]):
         if _key_is_deprecated(full_key):
             continue
         if _key_is_renamed(full_key):
             _raise_key_rename_error(full_key)
-        key_list = full_key.split('.')
-        d = __C
-        for subkey in key_list[:-1]:
-            assert subkey in d, 'Non-existent key: {}'.format(full_key)
-            d = d[subkey]
-        subkey = key_list[-1]
-        assert subkey in d, 'Non-existent key: {}'.format(full_key)
-        value = _decode_cfg_value(v)
-        value = _check_and_coerce_cfg_value_type(value, d[subkey], subkey,
-                                                 full_key)
-        d[subkey] = value
+        node = __C
+        parts = full_key.split('.')
+        for part in parts[:-1]:
+            assert part in node, 'Non-existent key: {}'.format(full_key)
+            node = node[part]
+        leaf = parts[-1]
+        assert leaf in node, 'Non-existent key: {}'.format(full_key)
+        node[leaf] = _fit_slot(_parse_value(raw), node[leaf], full_key)
 
 
 def reset_cfg():
@@ -415,37 +417,41 @@ def _to_attr_dict(d):
     return d
 
 
-def _merge_a_into_b(a, b, stack=None):
-    """Merge config dictionary a into config dictionary b, clobbering the
-    options in b whenever they are also specified in a.
+def _merge_a_into_b(a, b):
+    """Overlay the override tree ``a`` onto the config tree ``b``.
+
+    Every leaf in the overlay must name a slot that already exists in
+    ``b`` — a yaml with a typo'd or made-up key is a hard error, never a
+    silent no-op.  The exceptions, checked per dotted key: deprecated
+    keys are dropped, renamed keys abort with the new spelling, and
+    keys belonging to the dormant detection stack (``_IGNORED_KEYS`` /
+    ``_IGNORED_SUBTREES``) log a warning and are dropped.
+
+    Iterative worklist rather than recursion: a sub-dict in the overlay
+    whose slot holds an AttrDict queues a deeper merge; any other value
+    is fitted to the slot's existing type and written.
     """
-    assert isinstance(a, AttrDict), 'Argument `a` must be an AttrDict'
-    assert isinstance(b, AttrDict), 'Argument `b` must be an AttrDict'
-
-    for k, v_ in a.items():
-        full_key = '.'.join(stack) + '.' + k if stack is not None else k
-        # a must specify keys that are in b
-        if k not in b:
-            if _key_is_deprecated(full_key):
-                continue
-            elif _key_is_renamed(full_key):
-                _raise_key_rename_error(full_key)
-            elif _key_is_ignored(full_key):
-                logger.warning(
-                    'Ignoring dormant-detection config key: %s', full_key)
-                continue
+    pending = [('', a, b)]
+    while pending:
+        prefix, overlay, target = pending.pop()
+        for key, raw in overlay.items():
+            full_key = prefix + key
+            if key not in target:
+                if _key_is_deprecated(full_key):
+                    continue
+                if _key_is_renamed(full_key):
+                    _raise_key_rename_error(full_key)
+                if _key_is_ignored(full_key):
+                    logger.warning(
+                        'Ignoring dormant-detection config key: %s', full_key)
+                    continue
+                raise KeyError(
+                    'Non-existent config key: {}'.format(full_key))
+            val = _parse_value(copy.deepcopy(raw))
+            if isinstance(target[key], AttrDict) and isinstance(val, dict):
+                pending.append((full_key + '.', val, target[key]))
             else:
-                raise KeyError('Non-existent config key: {}'.format(full_key))
-
-        v = copy.deepcopy(v_)
-        v = _decode_cfg_value(v)
-        if isinstance(b[k], AttrDict) and isinstance(v, dict):
-            v = _to_attr_dict(v)
-            stack_push = [k] if stack is None else stack + [k]
-            _merge_a_into_b(v, b[k], stack=stack_push)
-            continue
-        v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
-        b[k] = v
+                target[key] = _fit_slot(val, target[key], full_key)
 
 
 def _key_is_deprecated(full_key):
@@ -469,42 +475,63 @@ def _raise_key_rename_error(full_key):
             full_key, new_key))
 
 
-def _decode_cfg_value(v):
-    """Decode a raw config value (e.g., from a yaml config file or command
-    line argument) into a Python object.
+def _parse_value(raw):
+    """Interpret a raw override value.
+
+    CLI overrides (and some yaml scalars) arrive as strings; anything
+    that reads as a Python literal — ``'0.5'``, ``'(128, 384)'``,
+    ``'True'`` — becomes that literal, and anything that does not (a
+    dataset name, a dotted function path) stays a string.  Non-string
+    values pass through untouched.
     """
-    if isinstance(v, dict):
-        return v
-    if not isinstance(v, str):
-        return v
+    if not isinstance(raw, str):
+        return raw
     try:
-        v = ast.literal_eval(v)
+        return ast.literal_eval(raw)
     except (ValueError, SyntaxError):
-        pass  # plain string
-    return v
+        return raw
 
 
-def _check_and_coerce_cfg_value_type(value_a, value_b, key, full_key):
-    """Check that `value_a`, which is intended to replace `value_b`, is of the
-    right type; coerce it if possible.
+# Permitted cross-type writes into a config slot, tried in order:
+# (slot predicate, value predicate, converter).  The slot's current
+# value defines its type; yaml/CLI values may legitimately differ in a
+# few known ways — list literals for ndarray slots like PIXEL_MEANS,
+# unquoted scalars for str slots, int for float, and tuple<->list
+# (yaml has no tuple syntax, defaults use tuples for fixed-arity keys).
+_SLOT_CONVERSIONS = (
+    (lambda old: isinstance(old, np.ndarray),
+     lambda new: True,
+     lambda new, old: np.array(new, dtype=old.dtype)),
+    (lambda old: isinstance(old, str),
+     lambda new: True,
+     lambda new, old: str(new)),
+    (lambda old: isinstance(old, float),
+     lambda new: isinstance(new, int),
+     lambda new, old: float(new)),
+    (lambda old: isinstance(old, list),
+     lambda new: isinstance(new, tuple),
+     lambda new, old: list(new)),
+    (lambda old: isinstance(old, tuple),
+     lambda new: isinstance(new, list),
+     lambda new, old: tuple(new)),
+)
+
+
+def _fit_slot(new, old, full_key):
+    """Fit ``new`` into a config slot whose current value is ``old``.
+
+    Exact type match passes through; otherwise the first applicable
+    entry of ``_SLOT_CONVERSIONS`` converts; otherwise the write is a
+    config error.
     """
-    type_a, type_b = type(value_a), type(value_b)
-    if type_a is type_b:
-        return value_a
-    # numpy arrays (e.g. PIXEL_MEANS) accept lists
-    if isinstance(value_b, np.ndarray):
-        return np.array(value_a, dtype=value_b.dtype)
-    if isinstance(value_b, str):
-        return str(value_a)
-    if isinstance(value_b, float) and isinstance(value_a, int):
-        return float(value_a)
-    if isinstance(value_a, tuple) and isinstance(value_b, list):
-        return list(value_a)
-    if isinstance(value_a, list) and isinstance(value_b, tuple):
-        return tuple(value_a)
+    if type(new) is type(old):
+        return new
+    for slot_pred, val_pred, convert in _SLOT_CONVERSIONS:
+        if slot_pred(old) and val_pred(new):
+            return convert(new, old)
     raise ValueError(
         'Type mismatch ({} vs. {}) with values ({} vs. {}) for config '
-        'key: {}'.format(type_b, type_a, value_b, value_a, full_key))
+        'key: {}'.format(type(old), type(new), old, new, full_key))
 
 
 _DEFAULT_CFG = copy.deepcopy(dict(__C))

@@ -87,59 +87,91 @@ def mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
     return aps, is_valid_query
 
 
+def _rank_credit(match_flags, topk, first_match_break, scale=1.0):
+    """CMC histogram increments for ONE ranked list of valid entries.
+
+    ``match_flags[r]`` says whether the entry at rank ``r`` matches the
+    query.  The j-th match is credited at bin ``r - j``: matches ranked
+    above it are not competitors, so each match's effective rank counts
+    only the non-matching entries before it (the reference evaluator's
+    ``k - j`` bookkeeping, reid_dataset_evaluator.py:340-352).
+
+    ``first_match_break`` credits 1.0 to the first match's bin only —
+    deliberately unscaled, preserving the reference's behavior where
+    the break path ignores the per-draw weight.  Otherwise every match
+    whose bin fits in ``topk`` gets ``scale / n_matches``.
+    """
+    credit = np.zeros(topk)
+    ranks = np.flatnonzero(match_flags)
+    if ranks.size == 0:
+        return credit
+    bins = ranks - np.arange(ranks.size)
+    if first_match_break:
+        if bins[0] < topk:
+            credit[bins[0]] = 1.0
+        return credit
+    # bins can collide (adjacent matches share an effective rank), so
+    # accumulate rather than assign
+    np.add.at(credit, bins[bins < topk], scale / ranks.size)
+    return credit
+
+
+def _sample_one_per_id(ids):
+    """Rank positions keeping one random instance per identity.
+
+    Group order is first appearance in the ranked list and each group
+    draws once from numpy's global RNG — the same call sequence as the
+    reference's single-gallery-shot sampler, so seeded runs reproduce
+    its draws exactly (reid_dataset_evaluator.py:327-339).
+    """
+    groups = defaultdict(list)
+    for rank, gid in enumerate(ids):
+        groups[gid].append(rank)
+    picked = [np.random.choice(ranks) for ranks in groups.values()]
+    return np.sort(np.asarray(picked))
+
+
 def cmc(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
         topk=100, separate_camera_set=False, single_gallery_shot=False,
         first_match_break=False, average=True):
-    """Cumulative matching characteristics
-    (reference reid_dataset_evaluator.py:283-363)."""
+    """Cumulative matching characteristics.
+
+    Protocol switches as in the reference evaluator
+    (reid_dataset_evaluator.py:283-363): Market-1501/Duke use
+    ``(separate_camera_set=False, single_gallery_shot=False,
+    first_match_break=True)``; the classic CUHK03 protocol keeps one
+    random gallery instance per identity and averages 100 draws.
+    Stable argsort (see mean_ap): deterministic tie order shared with
+    the device path, identical to the reference for distinct distances.
+    """
     distmat = np.asarray(distmat)
-    m = distmat.shape[0]
-    # stable sort (see mean_ap): deterministic tie order, shared with
-    # the device path; identical to the reference for distinct distances
-    indices = np.argsort(distmat, axis=1, kind='mergesort')
-    matches = gallery_ids[indices] == query_ids[:, np.newaxis]
-    ret = np.zeros([m, topk])
-    is_valid_query = np.zeros(m)
-    num_valid_queries = 0
-    for i in range(m):
-        valid = _valid_mask(indices[i], query_ids[i], query_cams[i],
-                            gallery_ids, gallery_cams, separate_camera_set)
-        if not np.any(matches[i, valid]):
+    n_query = distmat.shape[0]
+    order = np.argsort(distmat, axis=1, kind='mergesort')
+    hits = np.zeros([n_query, topk])
+    is_valid_query = np.zeros(n_query)
+    for i in range(n_query):
+        keep = _valid_mask(order[i], query_ids[i], query_cams[i],
+                           gallery_ids, gallery_cams, separate_camera_set)
+        ranked_ids = gallery_ids[order[i]][keep]
+        flags = ranked_ids == query_ids[i]
+        if not flags.any():
             continue
         is_valid_query[i] = 1
         if single_gallery_shot:
-            repeat = 100
-            gids = gallery_ids[indices[i][valid]]
-            inds = np.where(valid)[0]
-            ids_dict = defaultdict(list)
-            for j, x in zip(inds, gids):
-                ids_dict[x].append(j)
+            draws = 100
+            for _ in range(draws):
+                chosen = _sample_one_per_id(ranked_ids)
+                hits[i] += _rank_credit(flags[chosen], topk,
+                                        first_match_break, scale=1.0 / draws)
         else:
-            repeat = 1
-        for _ in range(repeat):
-            if single_gallery_shot:
-                # randomly pick one gallery instance per id
-                sampled = np.zeros(len(valid), dtype=bool)
-                for _, idxs in ids_dict.items():
-                    sampled[np.random.choice(idxs)] = True
-                index = np.nonzero(matches[i, valid & sampled])[0]
-            else:
-                index = np.nonzero(matches[i, valid])[0]
-            delta = 1.0 / (len(index) * repeat)
-            for j, k in enumerate(index):
-                if k - j >= topk:
-                    break
-                if first_match_break:
-                    ret[i, k - j] += 1
-                    break
-                ret[i, k - j] += delta
-        num_valid_queries += 1
-    if num_valid_queries == 0:
+            hits[i] = _rank_credit(flags, topk, first_match_break)
+    n_valid = is_valid_query.sum()
+    if n_valid == 0:
         raise RuntimeError('No valid query')
-    ret = ret.cumsum(axis=1)
+    curve = hits.cumsum(axis=1)
     if average:
-        return np.sum(ret, axis=0) / num_valid_queries
-    return ret, is_valid_query
+        return np.sum(curve, axis=0) / n_valid
+    return curve, is_valid_query
 
 
 def compute_dist(array1, array2, dist_type='euclidean'):

@@ -71,6 +71,29 @@ def test_cmc_bit_exact(oracle, sep_cam, fmb):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.parametrize('fmb', [False, True])
+def test_cmc_single_gallery_shot_bit_exact(oracle, fmb):
+    """CUHK03 protocol: one random gallery instance per id, 100 draws.
+
+    The sampler consumes numpy's GLOBAL RNG (one np.random.choice per id
+    group, in first-appearance-in-rank order — reference
+    reid_dataset_evaluator.py:327-352), so seeding identically before
+    each call must give bit-identical curves.  This pins our restructured
+    sampler (_sample_one_per_id/_rank_credit) to the reference's draw
+    sequence, including the fmb quirk where the break path credits an
+    unscaled 1.0 per draw."""
+    from pps_tpu.evaluation.metrics import cmc, compute_dist
+    feat, ids, cams, q = _random_reid_problem(6)
+    dm = compute_dist(feat[q], feat[~q])
+    kw = dict(topk=10, separate_camera_set=True,
+              single_gallery_shot=True, first_match_break=fmb)
+    np.random.seed(94)
+    ours = cmc(dm, ids[q], ids[~q], cams[q], cams[~q], **kw)
+    np.random.seed(94)
+    ref = oracle['cmc'](dm, ids[q], ids[~q], cams[q], cams[~q], **kw)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_cmc_per_query_bit_exact(oracle):
     from pps_tpu.evaluation.metrics import cmc, compute_dist
     feat, ids, cams, q = _random_reid_problem(2)
