@@ -251,6 +251,20 @@ def save_checkpoint(path, model, params, state, opt_state=None, cfg=None):
             mom_blobs = params_to_blobs(model, opt_state['momentum'])
             for name, arr in mom_blobs.items():
                 blobs[name + '_momentum'] = arr
+        # re-emit blobs preserved at load (reference utils/net.py:122-178
+        # '__preserve__/' namescope): a weights file that transits this
+        # trainer keeps blobs the model doesn't use, so load->save is
+        # lossless for downstream reference consumers.  Live model blobs
+        # take precedence on a name collision, as in the reference save.
+        preserved = getattr(model, '_preserved_blobs', {})
+        n_pres = 0
+        for name, arr in preserved.items():
+            if name not in blobs:
+                blobs[name] = arr
+                n_pres += 1
+        if n_pres:
+            logger.info('Re-emitting %d preserved (model-unused) blobs',
+                        n_pres)
         payload = {'blobs': blobs}
         if cfg is not None:
             payload['cfg'] = yaml.dump(_plain(dict(cfg)))
@@ -289,6 +303,16 @@ def load_checkpoint(path, model, params, state, opt_state=None):
                                              state)
     logger.info('Loaded %d/%d checkpoint blobs from %s', len(matched),
                 len(weight_blobs), path)
+    # preserve unmatched blobs on the model (the workspace analog of the
+    # reference's '__preserve__/' namescope, utils/net.py:122-135):
+    # save_checkpoint re-emits them so the round-trip is lossless.
+    # Momentum blobs are never preserved, as in the reference.
+    preserved = {k: np.asarray(v) for k, v in weight_blobs.items()
+                 if k not in matched and v is not None}
+    if preserved:
+        logger.info('Preserving %d blobs unused by the model '
+                    '(re-emitted on save)', len(preserved))
+    model._preserved_blobs = preserved
     if opt_state is not None:
         mom_blobs = {k[:-len('_momentum')]: v for k, v in blobs.items()
                      if k.endswith('_momentum')}

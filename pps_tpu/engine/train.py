@@ -261,6 +261,9 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                 return multihost_utils.reached_preemption_sync_point(step)
             except RuntimeError:  # preemption service disabled
                 return False
+    # multi-process: the step is AOT-compiled and the processes barrier
+    # between compile and first execution (see loop below)
+    mh_step = None
     old_sig, sig_installed = None, False
     if (jax.process_count() == 1 and
             threading.current_thread() is threading.main_thread()):
@@ -304,7 +307,21 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                             train_state['opt'], lr / cur_lr)
                 cur_lr = lr
                 step_rng = jax.random.fold_in(base_rng, global_step)
-                train_state, logs = step_fn(
+                if jax.process_count() > 1 and mh_step is None:
+                    # AOT-compile the step, then BARRIER, then run the
+                    # compiled object: collective contexts are created
+                    # lazily at FIRST EXECUTION (the CPU backend's Gloo
+                    # rendezvous has a hard ~30 s deadline), so
+                    # compile-time skew between workers — minutes on a
+                    # cold or foreign-machine cache — must never reach
+                    # the context rendezvous.  Harmless on TPU pods; the
+                    # barrier reuses jax.distributed's existing channel.
+                    mh_step = step_fn.lower(
+                        train_state, batch, jnp.float32(lr),
+                        jnp.float32(loss_scale), step_rng).compile()
+                    multihost_utils.sync_global_devices(
+                        'pps_train_step_compiled')
+                train_state, logs = (mh_step or step_fn)(
                     train_state, batch, jnp.float32(lr),
                     jnp.float32(loss_scale), step_rng)
                 stats.IterToc()

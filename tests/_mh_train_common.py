@@ -109,6 +109,23 @@ def run_two_steps(cfg, init_ckpt=None, n_steps=2):
             hw = hashlib.sha1(np.asarray(jax.device_get(
                 g(train_state['params']['conv1_w']))).tobytes())
             print('MHDBG conv1_w@init %s' % hw.hexdigest(), flush=True)
+        if jax.process_count() > 1:
+            # AOT-compile the step and BARRIER before first execution.
+            # The CPU backend's Gloo collective contexts are created
+            # lazily per program instance at FIRST EXECUTION under a
+            # hard ~30 s rendezvous deadline; the train-step compile is
+            # the long pole (minutes on a cold or foreign-machine cache
+            # under host load), so without this barrier one worker can
+            # reach the step's context rendezvous minutes before its
+            # peer and fail with DEADLINE_EXCEEDED.  The barrier itself
+            # reuses the startup barrier's already-created context.
+            # Executing the AOT-compiled object keeps the compile out
+            # of the first call entirely.
+            from jax.experimental import multihost_utils
+            step = step.lower(
+                train_state, dev_batch, jnp.float32(0.01),
+                jnp.float32(1.0), jax.random.PRNGKey(1)).compile()
+            multihost_utils.sync_global_devices('train-step-compiled')
         loss = None
         for i in range(n_steps):
             train_state, logs = step(

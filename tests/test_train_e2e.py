@@ -488,3 +488,48 @@ def test_freeze_conv_body_step(tiny_train_cfg):
     hp = model.head_param_prefix + '_fc_w'
     assert not np.array_equal(np.asarray(ts['params'][hp]),
                               np.asarray(params[hp]))
+
+
+def test_preserved_blobs_roundtrip(tiny_train_cfg, tmp_path):
+    """A weights file carrying blobs the model does not use survives
+    load -> train -> save losslessly (reference utils/net.py:122-178
+    '__preserve__/' namescope): alien blobs re-emitted bitwise, live
+    model blobs taking precedence on a name collision."""
+    import jax
+    from pps_tpu.models.model import build_model
+    from pps_tpu.engine import checkpoint as ckpt_lib
+    from pps_tpu.utils.io import load_object, save_object
+
+    c = tiny_train_cfg
+    c.SOLVER.MAX_ITER = 1
+    model = build_model(c)
+    params, state = model.init(jax.random.PRNGKey(3))
+    boot = str(tmp_path / 'bootstrap.pkl')
+    ckpt_lib.save_checkpoint(boot, model, params, state, cfg=c)
+
+    # inject blobs no model matches (e.g. another training stage's heads,
+    # the reference's alternating-optimization use case) + a stale
+    # momentum blob, which must NOT be preserved (reference excludes it)
+    rng = np.random.RandomState(11)
+    alien = {'stage2_rpn_conv_w': rng.randn(4, 4, 3, 3).astype(np.float32),
+             'stage2_rpn_conv_b': rng.randn(4).astype(np.float32)}
+    payload = load_object(boot)
+    payload['blobs'].update(alien)
+    payload['blobs']['stage2_rpn_conv_w_momentum'] = np.zeros(
+        (4, 4, 3, 3), np.float32)
+    save_object(payload, boot)
+
+    c.TRAIN.WEIGHTS = boot
+    out_dir = str(tmp_path / 'preserve_run')
+    ckpts = train_model(c, output_dir=out_dir,
+                        decode_fn=_class_decoder(N_IDS), num_workers=1)
+
+    final = load_object(ckpts['final'])['blobs']
+    for name, arr in alien.items():
+        np.testing.assert_array_equal(final[name], arr, err_msg=name)
+    assert 'stage2_rpn_conv_w_momentum' not in final
+    # training actually updated live blobs (preservation isn't a no-op
+    # passthrough of the whole input file)
+    hp = model.head_param_prefix + '0_fc_w'
+    assert not np.array_equal(final[hp],
+                              load_object(boot)['blobs'][hp])
