@@ -698,6 +698,7 @@ class RetrievalIndex:
             self._host_g = feats
             self._host_s = None
         self._ivf = None
+        self._auto_retrain = None
         # re-entrant: search_reranked/search(return_paths=True) hold it
         # across the scan AND the row/path resolution so a concurrent
         # remove() (which renumbers every row) cannot interleave
@@ -827,45 +828,76 @@ class RetrievalIndex:
         chip reads only its share of the probed bytes.
         """
         from pps_tpu.ops import ivf as ivf_ops
+        # k-means runs OFF the index lock on a snapshot of the host
+        # mirror (add() replaces, never mutates, the mirror arrays):
+        # searches keep flowing during the minutes-scale training, and
+        # only the atomic install below stalls them.  Rows appended
+        # while k-means runs are assigned to the fresh centroids at
+        # install (the same fixed-centroid semantics as post-install
+        # adds).
+        with self._lock:
+            host_g, host_s = self._host_g, self._host_s
+        n0 = len(host_g)
+        cent = ivf_ops.kmeans(
+            host_g, int(nlist) if nlist else ivf_ops.default_nlist(n0),
+            iters=iters, seed=seed, g_scale=host_s, sample=sample)
+        self._install_ivf(
+            cent, nprobe=nprobe, budget=budget, spill_limit=spill_limit,
+            train=dict(nlist=nlist, nprobe=int(nprobe), budget=budget,
+                       iters=int(iters), seed=int(seed),
+                       sample=int(sample), spill_limit=spill_limit))
+
+    def _install_ivf(self, cent, nprobe, budget, spill_limit, train):
+        """Atomically swap in a clustering: assign every CURRENT row to
+        the given centroids and re-sort the device placement, all under
+        one index-lock hold (searches see either the old index or the
+        new one, never a mix).  Full-gallery assignment reads the
+        already-RESIDENT device rows when unsharded (no gallery
+        re-transfer); the host mirror under sharding (the sharded
+        layout is padded/permuted)."""
+        from pps_tpu.ops import ivf as ivf_ops
+        nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
         with self._lock:
             ng = len(self.paths)
-            nlist = int(nlist) if nlist else ivf_ops.default_nlist(ng)
-            # k-means samples its training rows from the HOST mirror
-            # (cheap slice); full-gallery assignment reads the
-            # already-RESIDENT device rows when unsharded (no gallery
-            # re-transfer), the host mirror under sharding (the sharded
-            # layout is padded/permuted)
-            cent = ivf_ops.kmeans(self._host_g, nlist, iters=iters,
-                                  seed=seed, g_scale=self._host_s,
-                                  sample=sample)
-            nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
+            cur_layout = None
             if self.shard:
-                assign = ivf_ops.assign_clusters(self._host_g, cent,
-                                                 g_scale=self._host_s)
+                assign = np.asarray(ivf_ops.assign_clusters(
+                    self._host_g, cent, g_scale=self._host_s), np.int32)
             else:
-                assign = ivf_ops.assign_clusters(self._g, cent,
-                                                 g_scale=self._s)
+                # device rows are in DEVICE-layout order (original order
+                # when IVF is off; sorted+spill when re-training an
+                # enabled index): map the per-position assignment back
+                # to original row ids
+                if self._ivf is None:
+                    cur_layout = np.arange(ng, dtype=np.int64)
+                else:
+                    cur_layout = np.concatenate(
+                        [self._ivf['perm'],
+                         self._ivf['spill_ids']]).astype(np.int64)
+                a_dev = np.asarray(ivf_ops.assign_clusters(
+                    self._g, cent, g_scale=self._s), np.int32)
+                assign = np.empty(ng, np.int32)
+                assign[cur_layout] = a_dev
             if budget is None:
                 budget = min(ng, max(2048, 4 * nprobe * max(ng, 1)
                                      // max(nlist, 1)))
             self._ivf = {
                 'cent': cent,
-                'assign': np.asarray(assign, np.int32),
+                'assign': assign,
                 'nlist': nlist,
                 'nprobe': int(nprobe),
                 'budget': int(budget),
                 'spill_limit': int(spill_limit if spill_limit is not None
                                    else max(4096, ng // 10)),
-                'trained_n': ng,  # rows present when k-means ran
+                'trained_n': ng,  # rows present at install
+                'train': train,   # recipe for re-training (auto or not)
             }
             if self.shard:
                 self._place_ivf_sharded()
             else:
-                # device currently holds original row order: re-sort
-                # with an in-HBM gather
-                self._place_ivf(
-                    device_layout=np.arange(ng, dtype=np.int64))
-        logger.info('IVF enabled: %d cells, nprobe=%d, budget=%d%s',
+                # re-sort with an in-HBM gather of the resident rows
+                self._place_ivf(device_layout=cur_layout)
+        logger.info('IVF installed: %d cells, nprobe=%d, budget=%d%s',
                     nlist, self._ivf['nprobe'], self._ivf['budget'],
                     ' (sharded)' if self.shard else '')
 
@@ -884,23 +916,120 @@ class RetrievalIndex:
         """Fraction of the gallery appended since the IVF centroids were
         trained (0.0 right after ``enable_ivf``; None when IVF is off).
 
-        Centroid-staleness policy (documented, deliberately manual):
-        centroids are FIXED after ``enable_ivf`` — appended rows are
-        assigned to their nearest existing cell (and spill-folded into
-        the sorted layout past ``spill_limit``), which preserves recall
-        as long as new rows come from the same embedding distribution.
-        When staleness grows large (rule of thumb: > 0.25) or the
-        distribution shifts (new camera domain, re-embedded gallery
-        after a weights change), the operator re-trains by calling
-        ``enable_ivf`` again — a full k-means + re-sort that would
-        stall every search behind the index lock if it ran
-        automatically inside ``add`` at serving scale, which is why it
-        is surfaced as a metric (daemon /stats) instead of a trigger.
+        Centroid-staleness policy: centroids are FIXED after
+        ``enable_ivf`` — appended rows are assigned to their nearest
+        existing cell (and spill-folded into the sorted layout past
+        ``spill_limit``), which preserves recall as long as new rows
+        come from the same embedding distribution.  When staleness
+        grows (rule of thumb: > 0.25) recall on the NEW rows erodes;
+        ``enable_auto_retrain`` re-trains in the background once the
+        threshold is crossed (k-means OFF the index lock, atomic swap
+        under it), or the operator re-trains manually by calling
+        ``enable_ivf`` again.  A re-train must never run inline inside
+        ``add``: a synchronous k-means there would stall every search
+        behind the index lock at serving scale.
         """
         if self._ivf is None:
             return None
         n = len(self.paths)
         return max(0.0, (n - self._ivf['trained_n']) / max(n, 1))
+
+    # ------------------------------------------------------------------
+    # staleness-triggered background re-training
+    # ------------------------------------------------------------------
+
+    def enable_auto_retrain(self, threshold=0.25):
+        """Re-train the IVF clustering automatically once
+        ``ivf_staleness`` crosses ``threshold``.
+
+        Checked after every ``add``; at most one re-train runs at a
+        time, in a daemon thread.  The expensive k-means runs on a
+        host-mirror snapshot with NO lock held (searches and adds keep
+        flowing); the finished clustering is swapped in atomically
+        under the index lock (``_install_ivf``) with the then-current
+        rows assigned to the new centroids, so staleness resets to 0
+        even for rows added mid-training.
+        """
+        assert self._ivf is not None, 'enable_ivf before auto-retrain'
+        self._auto_retrain = {'threshold': float(threshold),
+                              'thread': None, 'count': 0}
+
+    def disable_auto_retrain(self):
+        self._auto_retrain = None
+
+    @property
+    def retrain_count(self):
+        """Completed background re-trains (0 when auto-retrain is off)."""
+        ar = self._auto_retrain
+        return ar['count'] if ar else 0
+
+    @property
+    def retraining(self):
+        """True while a background re-train is in flight."""
+        ar = self._auto_retrain
+        t = ar and ar.get('thread')
+        return bool(t and t.is_alive())
+
+    def wait_retrain(self, timeout=None):
+        """Block until any in-flight background re-train finishes
+        (shutdown-drain / test hook).  Returns ``retrain_count``."""
+        ar = self._auto_retrain
+        t = ar and ar.get('thread')
+        if t is not None:
+            t.join(timeout)
+        return self.retrain_count
+
+    def _maybe_auto_retrain(self):
+        ar = self._auto_retrain
+        if ar is None:
+            return
+        with self._lock:
+            s = self.ivf_staleness
+            if s is None or s < ar['threshold']:
+                return
+            t = ar.get('thread')
+            if t is not None and t.is_alive():
+                return  # one re-train at a time; re-checked on next add
+            logger.info('IVF staleness %.3f >= %.3f: background '
+                        're-train starting', s, ar['threshold'])
+            t = threading.Thread(target=self._auto_retrain_run,
+                                 name='ivf-auto-retrain', daemon=True)
+            ar['thread'] = t
+            t.start()
+
+    def _auto_retrain_run(self):
+        from pps_tpu.ops import ivf as ivf_ops
+        try:
+            with self._lock:
+                if self._ivf is None:
+                    return
+                train = dict(self._ivf.get('train') or {})
+                spill_cur = self._ivf['spill_limit']
+                nprobe_cur = self._ivf['nprobe']
+                host_g, host_s = self._host_g, self._host_s
+            # indices loaded from pre-'train' files fall back to the
+            # current knobs + recomputed defaults
+            nlist = train.get('nlist')
+            cent = ivf_ops.kmeans(
+                host_g,
+                int(nlist) if nlist else ivf_ops.default_nlist(
+                    len(host_g)),
+                iters=train.get('iters', 10), seed=train.get('seed', 0),
+                g_scale=host_s, sample=train.get('sample', 262144))
+            self._install_ivf(
+                cent, nprobe=train.get('nprobe', nprobe_cur),
+                budget=train.get('budget'),
+                spill_limit=train.get('spill_limit', spill_cur),
+                train=train or dict(nlist=None, nprobe=nprobe_cur,
+                                    budget=None, iters=10, seed=0,
+                                    sample=262144, spill_limit=spill_cur))
+            ar = self._auto_retrain
+            if ar is not None:
+                ar['count'] += 1
+            logger.info('IVF auto-retrain complete (staleness reset, '
+                        '%d rows)', len(self.paths))
+        except Exception:
+            logger.exception('IVF auto-retrain failed; index unchanged')
 
     def _to_orig(self, pos):
         """Device-layout positions -> original row ids (-1 passthrough).
@@ -1204,6 +1333,7 @@ class RetrievalIndex:
                 'spill_limit': spill_limit,
                 'trained_n': trained_n,
             }
+        self._auto_retrain = None
         self._lock = threading.RLock()
         self._place()
         logger.info('loaded %d x %d index (%s) from %s', len(self.paths),
@@ -1279,3 +1409,5 @@ class RetrievalIndex:
                         # fold with an HBM gather, not a host transfer
                         self._place_ivf(device_layout=np.concatenate(
                             [ivf['perm'], ivf['spill_ids']]))
+        # outside the lock: may spawn a background re-train thread
+        self._maybe_auto_retrain()

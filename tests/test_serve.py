@@ -73,7 +73,8 @@ def test_serve_daemon_e2e(tmp_path):
          '--cfg', cfg_file, '--weights', ckpt, '--gallery', imdir,
          '--port', '0', '--int8-gallery', '--topk', '3',
          '--ready-file', ready, '--save-index', idx_file,
-         '--max-body-mb', '1', '--ivf', '--ivf-nprobe', '4'],
+         '--max-body-mb', '1', '--ivf', '--ivf-nprobe', '4',
+         '--ivf-auto-retrain', '0.2'],
         stdout=log, stderr=log, cwd=ROOT, env=env)
     try:
         deadline = time.time() + 480
@@ -312,6 +313,41 @@ def test_serve_daemon_e2e(tmp_path):
         assert r['gallery_size'] == n_gallery + 1
         s = _req(base + '/stats')
         assert s['removes'] == 1 and s['adds'] == 3
+        # staleness has not crossed --ivf-auto-retrain 0.2 yet
+        assert s['ivf_retrains'] == 0
+
+        # staleness-triggered background re-train: /add enough new rows
+        # to cross the threshold, then /stats reports the completed
+        # re-train and a reset staleness while searches keep working
+        m = n_gallery // 3 + 1
+        bulk = []
+        for j in range(m):
+            p = str(tmp_path / ('bulk%02d.png' % j))
+            cv2.imwrite(p, np.random.RandomState(500 + j).randint(
+                0, 255, size=(96, 32, 3)).astype(np.uint8))
+            bulk.append(p)
+        r = _req(base + '/add',
+                 data=json.dumps({'paths': bulk}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['added'] == m
+        deadline_rt = time.time() + 120
+        while True:
+            s = _req(base + '/stats')
+            if s['ivf_retrains'] >= 1 and not s['ivf_retraining']:
+                break
+            assert time.time() < deadline_rt, (
+                'auto-retrain never fired: %r' % s)
+            time.sleep(0.5)
+        assert s['ivf_staleness'] == 0.0
+        r = _req(base + '/search_path',
+                 data=json.dumps({'path': bulk[0], 'k': 1}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['results'][0][0]['path'] == bulk[0]
+        # restore the gallery for the restart block below
+        r = _req(base + '/remove',
+                 data=json.dumps({'paths': bulk}).encode(),
+                 headers={'Content-Type': 'application/json'})
+        assert r['gallery_size'] == n_gallery + 1
     finally:
         server.terminate()
         try:

@@ -501,3 +501,80 @@ def test_ivf_load_legacy_three_param_file(tmp_path):
     d, i = idx2.search(q, k=5)
     d_ref, i_ref = idx.search(q, k=5)
     np.testing.assert_array_equal(i, i_ref)
+
+
+def test_ivf_auto_retrain_on_staleness():
+    """enable_auto_retrain: append rows from unseen identity clusters
+    until staleness crosses the threshold -> a background re-train
+    fires, swaps centroids atomically, resets staleness, and recall on
+    the new-identity queries recovers to the exact scan."""
+    rng = np.random.RandomState(3)
+    ids = rng.randn(20, 32).astype(np.float32)
+
+    def rows(id_slice, per=15):
+        r = (np.repeat(ids[id_slice], per, axis=0) +
+             0.05 * rng.randn(len(ids[id_slice]) * per, 32))
+        return (r / np.linalg.norm(r, axis=1, keepdims=True)
+                ).astype(np.float32)
+
+    g_old = rows(slice(0, 14))
+    g_new = rows(slice(14, 20))
+    q_new = ids[14:] + 0.05 * rng.randn(6, 32)
+    q_new = (q_new / np.linalg.norm(q_new, axis=1, keepdims=True)
+             ).astype(np.float32)
+
+    idx = RetrievalIndex(g_old, ['old%d' % i for i in range(len(g_old))],
+                         int8=False)
+    # tiny spill_limit so appended rows fold into the STALE clustering
+    # (the spill tail is scanned exactly and would mask the staleness)
+    idx.enable_ivf(nlist=20, nprobe=2, budget=64, seed=0, spill_limit=8)
+    idx.enable_auto_retrain(threshold=0.25)
+    assert idx.retrain_count == 0
+
+    # below threshold: no re-train
+    idx.add(g_new[:15], ['new%d' % i for i in range(15)])
+    assert idx.wait_retrain(timeout=60) == 0
+    assert idx.ivf_staleness < 0.25
+
+    # cross the threshold (90/300 = 0.30 appended)
+    idx.add(g_new[15:], ['new%d' % i for i in range(15, len(g_new))])
+    assert idx.wait_retrain(timeout=120) == 1
+    assert idx.ivf_staleness == 0.0
+    assert not idx.retraining
+
+    def recall(k=10):
+        d_ref, i_ref = idx.search(q_new, k=k, exact=True)
+        d, i = idx.search(q_new, k=k)
+        return np.mean([len(set(a) & set(b)) / float(k)
+                        for a, b in zip(i, i_ref)])
+
+    # after the re-train the new identities own real cells: the probed
+    # scan finds them (nprobe=2 of 20 against a 20-cluster gallery)
+    assert recall() >= 0.95
+
+    # the swapped-in index is internally consistent: full probe budget
+    # reproduces the exact scan over the re-sorted layout
+    d_ref, i_ref = idx.search(q_new, k=10, exact=True)
+    idx._ivf['nprobe'] = idx._ivf['nlist']
+    idx._ivf['budget'] = len(idx.paths)
+    d, i = idx.search(q_new, k=10)
+    np.testing.assert_array_equal(i, i_ref)
+
+
+def test_ivf_retrain_via_enable_ivf_on_enabled_index():
+    """Re-training by calling enable_ivf on an ALREADY-enabled index
+    (the manual path) keeps the index consistent: the device layout is
+    cell-sorted+spill at that point, and the re-install must map the
+    per-position assignments back to original row ids."""
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    d_ref, i_ref = idx.search(q, k=10)
+    idx.enable_ivf(nlist=20, nprobe=4, seed=0, spill_limit=8)
+    idx.add(g[:30] + 0.01, list(range(1000, 1030)))  # spill + fold
+    idx.enable_ivf(nlist=20, nprobe=4, seed=1)       # re-train in place
+    assert idx.ivf_staleness == 0.0
+    # exact scan over the re-sorted layout matches brute force
+    d_e, i_e = idx.search(q, k=10, exact=True)
+    gg = np.concatenate([g, g[:30] + 0.01])
+    brute = _brute_order(q, gg)[:, :10]
+    np.testing.assert_array_equal(i_e, brute)

@@ -182,9 +182,11 @@ class ServerState(object):
                    'gallery_size': len(self.index)}
             stale = self.index.ivf_staleness
             if stale is not None:
-                # operators watch this for the manual-retrain policy
+                # operators watch this for the retrain policy
                 # (engine/serving.py RetrievalIndex.ivf_staleness)
                 out['ivf_staleness'] = round(stale, 4)
+                out['ivf_retrains'] = self.index.retrain_count
+                out['ivf_retraining'] = self.index.retraining
             nd, ni = self.batcher.dispatches, self.batcher.images
             out['embed'] = {'dispatches': nd, 'images': ni,
                             'avg_batch': round(ni / nd, 2) if nd else None,
@@ -547,6 +549,14 @@ def main():
                         help='IVF cell count (default ~4*sqrt(N))')
     parser.add_argument('--ivf-nprobe', type=int, default=8,
                         help='cells scanned per query')
+    parser.add_argument('--ivf-auto-retrain', type=float, default=None,
+                        metavar='THRESHOLD',
+                        help='re-train the IVF clustering in the '
+                             'background once ivf_staleness crosses '
+                             'THRESHOLD (e.g. 0.25): k-means off the '
+                             'index lock, atomic centroid swap under '
+                             'it. /stats reports ivf_retrains and '
+                             'ivf_retraining.')
     parser.add_argument('opts', nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -588,6 +598,11 @@ def main():
         t0 = time.time()
         index.enable_ivf(nlist=args.ivf_nlist, nprobe=args.ivf_nprobe)
         logger.info('IVF build took %.1f s', time.time() - t0)
+    if args.ivf_auto_retrain is not None:
+        if not index.ivf_enabled:
+            parser.error('--ivf-auto-retrain needs --ivf (or a '
+                         '--load-index file that carries an IVF)')
+        index.enable_auto_retrain(threshold=args.ivf_auto_retrain)
 
     # persistent query embedder: traces the model ONCE and dispatches
     # each coalesced group at the smallest padded batch in its ladder
