@@ -19,7 +19,9 @@ scan), so it is the conservative lower bound on the batching win: the
 reference loop additionally pays a synchronous host round trip per image
 (FeedBlob/RunNet/FetchBlob), which the batched path amortizes 512x but
 which cannot be measured honestly through this harness's ~25 ms network
-tunnel (BASELINE.md has the decomposition).
+tunnel.  The host side IS measured component-wise and tunnel-free by
+tools/bench_ref_loop.py; combining the two gives the ratio of record,
+7.1x — see BASELINE.md "North-star verdict".
 """
 
 import json

@@ -38,6 +38,13 @@ def _median(xs):
     return float(np.median(np.asarray(xs)))
 
 
+def _spread(xs):
+    """(max-min)/median — the reproducibility figure published next to
+    every measured rate in this repo (BASELINE.md protocol)."""
+    xs = np.asarray(xs, np.float64)
+    return float((xs.max() - xs.min()) / np.median(xs))
+
+
 def bench_prep(n_images=300, reps=5, scale_wh=(128, 384), src_hw=(128, 64)):
     """Serial reference-style blob prep on real jpg files: cv2.imread ->
     astype f32 -> -PIXEL_MEANS -> INTER_CUBIC resize -> NCHW copy.
@@ -69,7 +76,7 @@ def bench_prep(n_images=300, reps=5, scale_wh=(128, 384), src_hw=(128, 64)):
         t2 = time.perf_counter()
         prep_ms.append((t1 - t0) / n_images * 1e3)
         copy_ms.append((t2 - t1) / n_images * 1e3)
-    return _median(prep_ms), _median(copy_ms)
+    return _median(prep_ms), _median(copy_ms), _spread(prep_ms)
 
 
 def bench_dispatch(iters=300, reps=5):
@@ -91,7 +98,7 @@ def bench_dispatch(iters=300, reps=5):
         for _ in range(iters):
             f(x, w).block_until_ready()
         out.append((time.perf_counter() - t0) / iters * 1e3)
-    return _median(out)
+    return _median(out), _spread(out)
 
 
 def main():
@@ -103,16 +110,18 @@ def main():
                     help='our batched pipeline rate (bench.py headline)')
     args = ap.parse_args()
 
-    t_prep, t_copy = bench_prep()
-    t_dispatch = bench_dispatch()
+    t_prep, t_copy, prep_spread = bench_prep()
+    t_dispatch, disp_spread = bench_dispatch()
 
     t_ref = t_prep + t_copy + t_dispatch + args.t_b1_ms
     t_ours = 1e3 / args.ours_imgs_per_sec
     print(json.dumps({
         'metric': 'reference_style_per_image_loop_ms',
         't_prep_ms': round(t_prep, 3),
+        'prep_spread_pct': round(prep_spread * 100, 1),
         't_blob_copy_ms': round(t_copy, 3),
         't_dispatch_sync_ms_lower_bound': round(t_dispatch, 4),
+        'dispatch_spread_pct': round(disp_spread * 100, 1),
         't_device_b1_ms': args.t_b1_ms,
         'ref_loop_ms_per_img': round(t_ref, 3),
         'ref_loop_imgs_per_sec': round(1e3 / t_ref, 1),
