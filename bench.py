@@ -83,16 +83,25 @@ def _device_canary(reps=3, n_chain=50, size=4096):
     import jax.numpy as jnp
     from functools import partial
 
-    r = np.random.RandomState(0)
-    x = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
-    w = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
+    # The operands (64 MB through a ~45 MB/s tunnel) and the jitted chain
+    # are cached across calls so the post-measurement probe reuses the
+    # resident buffers and compiled executables instead of re-uploading
+    # and re-tracing.
+    cached = getattr(_device_canary, '_state', None)
+    if cached is None or cached[0] != size:
+        r = np.random.RandomState(0)
+        x = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
+        w = jax.device_put(r.randn(size, size).astype(jnp.bfloat16))
 
-    @partial(jax.jit, static_argnums=2)
-    def chain(x, w, n):
-        def body(c, _):
-            c = jnp.dot(c, w)
-            return c / jnp.max(jnp.abs(c)), None
-        return jax.lax.scan(body, x, None, length=n)[0]
+        @partial(jax.jit, static_argnums=2)
+        def chain(x, w, n):
+            def body(c, _):
+                c = jnp.dot(c, w)
+                return c / jnp.max(jnp.abs(c)), None
+            return jax.lax.scan(body, x, None, length=n)[0]
+
+        cached = _device_canary._state = (size, x, w, chain, set())
+    _, x, w, chain, warmed = cached
 
     def run(n):
         t0 = time.perf_counter()
@@ -101,7 +110,9 @@ def _device_canary(reps=3, n_chain=50, size=4096):
 
     n_lo, n_hi = 2, 2 + n_chain
     for n in (n_lo, n_hi):
-        run(n)  # compile both trip counts
+        if n not in warmed:  # compile each trip count once per process
+            run(n)
+            warmed.add(n)
     samples = []
     for _ in range(reps):
         dt = run(n_hi) - run(n_lo)
@@ -113,7 +124,13 @@ def _device_canary(reps=3, n_chain=50, size=4096):
 # 4096^3 bf16 canary at ~peak (measured 207 TFLOP/s on v5e whose nominal
 # peak is 197); the r04 degradation was 20x down.  The floor is 25% of
 # bf16 peak — far below any healthy reading, far above any degraded one.
-_CANARY_FLOOR = {'v5 lite': 49.0, 'v5e': 49.0, 'v5p': 115.0,
+# Ordered most-specific first: the bare 'v5' entry is the conservative
+# v5e floor and catches every v5-family spelling ('v5litepod', 'TPU v5')
+# that the specific keys miss — matching the spelling set the bf16-peak
+# table below handles, so no expected device kind falls through to the
+# catastrophic-only fallback.
+_CANARY_FLOOR = {'v5 lite': 49.0, 'v5litepod': 49.0, 'v5e': 49.0,
+                 'v5p': 115.0, 'v5': 49.0,
                  'v4': 69.0, 'v6': 230.0, 'trillium': 230.0}
 
 
@@ -265,7 +282,8 @@ def main():
 
     # Post-measurement canary: degradation that sets in DURING the bench
     # (the r04 failure mode could strike at any point) must also mark the
-    # line.  The canary program is already compiled, so this is ~100 ms.
+    # line.  Operands and executables are cached from the pre-bench call
+    # (_device_canary._state), so this re-probe costs one chained run.
     if on_tpu:
         canary_after = _device_canary(reps=1)
         canary_tflops = min(canary_tflops, canary_after)

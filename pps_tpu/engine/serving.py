@@ -1006,9 +1006,15 @@ class RetrievalIndex:
                 train = dict(self._ivf.get('train') or {})
                 spill_cur = self._ivf['spill_limit']
                 nprobe_cur = self._ivf['nprobe']
+                budget_cur = self._ivf['budget']
                 host_g, host_s = self._host_g, self._host_s
-            # indices loaded from pre-'train' files fall back to the
-            # current knobs + recomputed defaults
+            # Indices restored by load() carry operating knobs but no
+            # train recipe (save() persists ivf_params, not the recipe):
+            # re-train with the persisted knobs verbatim — including the
+            # possibly operator-tuned budget — rather than silently
+            # recomputing defaults.  A live recipe keeps its own values:
+            # budget=None there means "formula default", which SHOULD
+            # be recomputed for the grown gallery.
             nlist = train.get('nlist')
             cent = ivf_ops.kmeans(
                 host_g,
@@ -1018,10 +1024,10 @@ class RetrievalIndex:
                 g_scale=host_s, sample=train.get('sample', 262144))
             self._install_ivf(
                 cent, nprobe=train.get('nprobe', nprobe_cur),
-                budget=train.get('budget'),
+                budget=train.get('budget') if train else budget_cur,
                 spill_limit=train.get('spill_limit', spill_cur),
                 train=train or dict(nlist=None, nprobe=nprobe_cur,
-                                    budget=None, iters=10, seed=0,
+                                    budget=budget_cur, iters=10, seed=0,
                                     sample=262144, spill_limit=spill_cur))
             ar = self._auto_retrain
             if ar is not None:

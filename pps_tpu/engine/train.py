@@ -314,12 +314,16 @@ def train_model(cfg, output_dir=None, roidb=None, decode_fn=None,
                     # rendezvous has a hard ~30 s deadline), so
                     # compile-time skew between workers — minutes on a
                     # cold or foreign-machine cache — must never reach
-                    # the context rendezvous.  Harmless on TPU pods; the
-                    # barrier reuses jax.distributed's existing channel.
+                    # the context rendezvous.  The barrier must be a
+                    # COORDINATION-SERVICE one: a device-collective
+                    # barrier would lazily create its own Gloo context
+                    # under the same 30 s deadline and time out for the
+                    # fast worker (see mesh.coordination_barrier).
+                    # Harmless on TPU pods.
                     mh_step = step_fn.lower(
                         train_state, batch, jnp.float32(lr),
                         jnp.float32(loss_scale), step_rng).compile()
-                    multihost_utils.sync_global_devices(
+                    mesh_lib.coordination_barrier(
                         'pps_train_step_compiled')
                 train_state, logs = (mh_step or step_fn)(
                     train_state, batch, jnp.float32(lr),

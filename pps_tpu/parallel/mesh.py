@@ -25,6 +25,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_BARRIER_SEQ = {}
+
+
+def coordination_barrier(name, timeout_s=1800):
+    """Align all processes via the jax.distributed coordination service
+    (plain gRPC to the coordinator) — NOT a device collective.
+
+    A collective barrier (``multihost_utils.sync_global_devices``) is
+    itself a device program: under the CPU backend its Gloo context is
+    created lazily at first execution with a hard ~30 s rendezvous
+    deadline, so using it to absorb COMPILE skew is self-defeating — a
+    worker that cache-hits its compile arrives minutes before one
+    compiling cold, and the barrier's own context rendezvous times out
+    with DEADLINE_EXCEEDED (the exact failure it was meant to prevent;
+    see tests/multihost_worker.py on per-program-instance contexts).
+    The coordination-service barrier tolerates skew up to ``timeout_s``
+    and creates no device programs; the processes that leave it then
+    execute their first real collective in lockstep, inside the Gloo
+    deadline.  No-op when jax.distributed was never initialized.
+
+    Coordination-service barrier ids are single-use; a per-name counter
+    (advanced identically in every process, since all run this same
+    call sequence) keeps repeated calls distinct.
+    """
+    from jax._src import distributed
+    client = getattr(distributed.global_state, 'client', None)
+    if client is None:
+        return
+    seq = _BARRIER_SEQ.get(name, 0)
+    _BARRIER_SEQ[name] = seq + 1
+    client.wait_at_barrier('{}#{}'.format(name, seq),
+                           timeout_in_ms=int(timeout_s * 1000))
+
+
 def build_mesh(cfg=None, devices=None, mesh_shape=None):
     """Create the (data, model) mesh.
 

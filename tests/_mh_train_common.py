@@ -117,15 +117,18 @@ def run_two_steps(cfg, init_ckpt=None, n_steps=2):
             # the long pole (minutes on a cold or foreign-machine cache
             # under host load), so without this barrier one worker can
             # reach the step's context rendezvous minutes before its
-            # peer and fail with DEADLINE_EXCEEDED.  The barrier itself
-            # reuses the startup barrier's already-created context.
+            # peer and fail with DEADLINE_EXCEEDED.  The barrier is a
+            # coordination-service one — a device-collective barrier
+            # would rendezvous its own Gloo context under the same 30 s
+            # deadline and time out for the fast worker (this is also
+            # exactly what engine/train.py runs in production).
             # Executing the AOT-compiled object keeps the compile out
             # of the first call entirely.
-            from jax.experimental import multihost_utils
+            from pps_tpu.parallel.mesh import coordination_barrier
             step = step.lower(
                 train_state, dev_batch, jnp.float32(0.01),
                 jnp.float32(1.0), jax.random.PRNGKey(1)).compile()
-            multihost_utils.sync_global_devices('train-step-compiled')
+            coordination_barrier('train-step-compiled')
         loss = None
         for i in range(n_steps):
             train_state, logs = step(

@@ -578,3 +578,31 @@ def test_ivf_retrain_via_enable_ivf_on_enabled_index():
     gg = np.concatenate([g, g[:30] + 0.01])
     brute = _brute_order(q, gg)[:, :10]
     np.testing.assert_array_equal(i_e, brute)
+
+
+def test_ivf_auto_retrain_after_load_keeps_tuned_knobs(tmp_path):
+    """A loaded index carries operating knobs (ivf_params) but no train
+    recipe; an auto-retrain after load must re-install with the
+    persisted — possibly operator-tuned — budget/nprobe/spill_limit
+    verbatim, not silently recompute formula defaults (advisor r5)."""
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    idx.enable_ivf(nlist=20, nprobe=3, budget=640, seed=0, spill_limit=8)
+    assert idx._ivf['budget'] == 640
+    p = str(tmp_path / 'idx.npz')
+    idx.save(p)
+
+    idx2 = RetrievalIndex.load(p)
+    assert idx2._ivf.get('train') is None  # the recipe is NOT persisted
+    idx2.enable_auto_retrain(threshold=0.2)
+    extra = np.concatenate([g] * 1, axis=0)[:120] + 0.01
+    idx2.add(extra.astype(np.float32), list(range(2000, 2000 + len(extra))))
+    assert idx2.wait_retrain(timeout=120) == 1
+    assert idx2._ivf['budget'] == 640
+    assert idx2._ivf['nprobe'] == 3
+    assert idx2._ivf['spill_limit'] == 8
+    # and the re-trained index still searches consistently
+    d_e, i_e = idx2.search(q, k=10, exact=True)
+    gg = np.concatenate([g, extra.astype(np.float32)])
+    brute = _brute_order(q, gg)[:, :10]
+    np.testing.assert_array_equal(i_e, brute)

@@ -631,11 +631,16 @@ def main():
     # With --load-index the stored paths may not exist on this host, so
     # warm the embed through a synthetic image and search with its output.
     t0 = time.time()
-    # every ladder batch size of BOTH wires; with a gallery on disk the
-    # uint8 wire warms (and pins) at the gallery's own raw geometry —
-    # the shape real queries from the same cameras arrive in
+    # every ladder batch size of BOTH wires; the uint8 wire warms (and
+    # pins) at the gallery's own raw geometry — the shape real queries
+    # from the same cameras arrive in.  This includes --load-index
+    # restarts (the production path): a loaded index's stored paths
+    # usually resolve on the serving host, and skipping them would pin
+    # the u8 wire at the network input size, permanently demoting every
+    # uniform-shape query to the host-preproc f32 wire (4x wire bytes +
+    # host bicubic).  Unresolvable paths fall back to the f32-only pin.
     raw_hw = None
-    if not args.load_index and len(index.paths):
+    if len(index.paths):
         try:
             from pps_tpu.data.transforms import decode_image
             raw_hw = decode_image(index.paths[0]).shape[:2]
