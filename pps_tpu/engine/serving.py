@@ -28,6 +28,23 @@ logger = logging.getLogger(__name__)
 
 GALLERY_CACHE_NAME = 'gallery_features.npz'
 
+_JITTED = {}
+
+
+def _jitted_take():
+    """Shared jitted row-gather.  One module-level callable means jax's
+    executable cache is keyed on SHAPES, not on a fresh closure per call
+    site — a `jax.jit(lambda ...)` built inside a method re-traces on
+    every invocation (the per-call-retrace pathology the QueryEmbedder
+    docstring documents for the bulk extraction path)."""
+    fn = _JITTED.get('take')
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        fn = _JITTED['take'] = jax.jit(
+            lambda a, p: jnp.take(a, p, axis=0))
+    return fn
+
 
 def _euclidean(a, b):
     """Evaluator-exact euclidean all-pairs (same clamped-sqrt math the
@@ -125,13 +142,19 @@ class QueryEmbedder:
             device_preproc=(self._means, self._out_hw))
         self._fn_f32 = es_lib.make_extract_fn(model, mesh, flip_tta=flip)
         sizes, s = [], self._n_dev
-        cap = max(self._n_dev, int(max_batch))
+        # the extract fns shard the batch dim over the mesh, so every
+        # ladder size — the cap included — must divide by the device
+        # count: round a caller-supplied max_batch DOWN (floor n_dev)
+        # rather than crash placement at the top-rung dispatch
+        cap = max(self._n_dev,
+                  int(max_batch) // self._n_dev * self._n_dev)
         while s < cap:
             sizes.append(s)
             s *= 4
         sizes.append(cap)
         self.ladder = tuple(sizes)
         self._u8_shape = None  # first raw shape pins the uint8 graph
+        self._dim = None       # embedding width, learned at first dispatch
 
     def _ladder_pad(self, n):
         for s in self.ladder:
@@ -172,8 +195,10 @@ class QueryEmbedder:
         if padded > n:
             stack = np.concatenate(
                 [stack, np.tile(stack[-1:], (padded - n, 1, 1, 1))], axis=0)
-        feats = fn(self._params, self._state, stack)
-        return np.asarray(feats, np.float32)[:n]
+        feats = np.asarray(fn(self._params, self._state, stack),
+                           np.float32)
+        self._dim = feats.shape[1]
+        return feats[:n]
 
     def embed(self, paths, decode_fn=None):
         """[len(paths), D] f32 embeddings of image files (blocking).
@@ -184,6 +209,10 @@ class QueryEmbedder:
         batch) can never force a fresh un-laddered XLA compile under
         traffic."""
         from pps_tpu.data import transforms
+        if not paths:
+            # [0, D] so callers can concatenate; D known after any
+            # dispatch (warmup populates it before traffic)
+            return np.zeros((0, self._dim or 0), np.float32)
         decode = decode_fn or transforms.decode_image
         ims = [decode(p) for p in paths]
         cap = self.ladder[-1]
@@ -234,20 +263,26 @@ def embed_gallery_cached(cfg, model, params, state, gallery_dir, mesh,
     cache = os.path.join(gallery_dir, GALLERY_CACHE_NAME)
     wkey = weights_cache_key(weights_path)
     if os.path.exists(cache) and not refresh:
+        feats = None
         try:
             data = np.load(cache, allow_pickle=True)
             cached_paths = list(data['paths'])
             cached_wkey = str(data['wkey']) if 'wkey' in data else ''
+            if cached_paths == paths and cached_wkey == wkey:
+                # npz members decompress lazily — the features read can
+                # hit a CRC/zlib error even when paths/wkey loaded fine,
+                # so it must sit inside this guard too
+                feats = np.asarray(data['features'], np.float32)
+            else:
+                logger.info('gallery or weights changed; re-embedding')
         except Exception:
             # a truncated/corrupt cache (crash mid-write predating the
             # atomic rename, disk trouble) must trigger a re-embed, not
             # kill the daemon at startup
             logger.warning('corrupt gallery cache %s; re-embedding',
                            cache)
-        else:
-            if cached_paths == paths and cached_wkey == wkey:
-                return np.asarray(data['features'], np.float32), paths
-            logger.info('gallery or weights changed; re-embedding')
+        if feats is not None:
+            return feats, paths
 
     part_dir = None
     if len(paths) <= chunk:
@@ -568,10 +603,28 @@ class SearchBatcher:
             # — each fresh nq shape is a full XLA compile inside the
             # index lock.  Chunk through the warmed max bucket instead,
             # under one index snapshot so a remove() between chunks
-            # cannot renumber rows mid-response (advisor r4).
-            with self.index.snapshot():
-                chunks = [self._scan(key, rows[s:s + self.max_batch])
-                          for s in range(0, n, self.max_batch)]
+            # cannot renumber rows mid-response (advisor r4).  For
+            # rerank groups only the DEVICE phase runs under the
+            # snapshot; the multi-second host k-reciprocal math runs
+            # after release, or it would stall every concurrent
+            # search/add/remove for pure host work.
+            spans = range(0, n, self.max_batch)
+            if key[3] is not None:
+                rk = dict(key[3])
+                s_len = max(int(rk.get('shortlist', 100)), int(k))
+                with self.index.snapshot():
+                    preps = [self._rerank_prepare(
+                        rows[a:a + self.max_batch], s_len, recall_target)
+                        for a in spans]
+                chunks = [self.index.rerank_from_snapshot(
+                    p_, k, k1=rk.get('k1', 20), k2=rk.get('k2', 6),
+                    lambda_value=rk.get('lam', 0.3),
+                    engine=rk.get('engine', 'auto'), return_paths=True)
+                    for p_ in preps]
+            else:
+                with self.index.snapshot():
+                    chunks = [self._scan(key, rows[a:a + self.max_batch])
+                              for a in spans]
             d = np.concatenate([c[0] for c in chunks], axis=0)
             i = np.concatenate([c[1] for c in chunks], axis=0)
             p = [row for c in chunks for row in c[2]]
@@ -584,6 +637,20 @@ class SearchBatcher:
             box['out'] = (d[off:off + m], i[off:off + m],
                           p[off:off + m])
             off += m
+
+    def _rerank_prepare(self, rows, shortlist, recall_target):
+        """Bucket-padded phase-1 shortlist scan for one chunk of an
+        oversized rerank group (device work + row snapshot only; the
+        caller holds the index snapshot across all chunks)."""
+        self.device_scans += 1
+        n = rows.shape[0]
+        b = self._bucket(n)
+        if b > n:
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], b - n, axis=0)], axis=0)
+        return self.index.rerank_shortlist_snapshot(
+            rows, shortlist, recall_target=recall_target,
+            return_paths=True, n_valid=n)
 
     def _scan(self, key, rows):
         """One device scan at a warmed bucket shape; returns results for
@@ -684,6 +751,14 @@ class RetrievalIndex:
         feats = np.asarray(feats, np.float32)
         assert feats.ndim == 2 and feats.shape[0] == len(paths), \
             (feats.shape, len(paths))
+        if feats.shape[0] == 0:
+            # an empty gallery has no searchable program (remove()
+            # enforces the same invariant when draining): top-k over a
+            # zero-length axis is an XLA error, so fail at construction
+            # with a real message instead of inside the first search
+            raise ValueError('RetrievalIndex needs at least one row; '
+                             'build it from a non-empty gallery and '
+                             'grow it with add()')
         self.paths = list(paths)
         self.int8 = bool(int8)
         self.shard = bool(shard)
@@ -699,6 +774,11 @@ class RetrievalIndex:
             self._host_s = None
         self._ivf = None
         self._auto_retrain = None
+        # bumped on every IVF install/disable: a background re-train
+        # snapshots it before the minutes-long k-means and aborts its
+        # install if the index's IVF state changed underneath (operator
+        # disable_ivf / manual enable_ivf during training)
+        self._ivf_gen = 0
         # re-entrant: search_reranked/search(return_paths=True) hold it
         # across the scan AND the row/path resolution so a concurrent
         # remove() (which renumbers every row) cannot interleave
@@ -760,7 +840,6 @@ class RetrievalIndex:
         re-transferring the multi-GB host mirror over the (slow)
         host->device link."""
         import jax
-        import jax.numpy as jnp
         from pps_tpu.ops.ivf import build_ivf
         self._gn = None
         ivf = self._ivf
@@ -769,7 +848,7 @@ class RetrievalIndex:
             inv = np.empty(len(device_layout), np.int64)
             inv[device_layout] = np.arange(len(device_layout))
             dev_perm = jax.device_put(inv[perm].astype(np.int32))
-            take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+            take = _jitted_take()
             self._g = take(self._g, dev_perm)
             if self._s is not None:
                 self._s = take(self._s, dev_perm)
@@ -847,17 +926,29 @@ class RetrievalIndex:
                        iters=int(iters), seed=int(seed),
                        sample=int(sample), spill_limit=spill_limit))
 
-    def _install_ivf(self, cent, nprobe, budget, spill_limit, train):
+    def _install_ivf(self, cent, nprobe, budget, spill_limit, train,
+                     expect_gen=None):
         """Atomically swap in a clustering: assign every CURRENT row to
         the given centroids and re-sort the device placement, all under
         one index-lock hold (searches see either the old index or the
         new one, never a mix).  Full-gallery assignment reads the
         already-RESIDENT device rows when unsharded (no gallery
         re-transfer); the host mirror under sharding (the sharded
-        layout is padded/permuted)."""
+        layout is padded/permuted).
+
+        ``expect_gen``: abort (return False) if ``_ivf_gen`` no longer
+        matches — a background re-train trained against state that an
+        operator's ``disable_ivf``/``enable_ivf`` has since replaced,
+        and must not override that explicit decision.  Returns True
+        when installed."""
         from pps_tpu.ops import ivf as ivf_ops
         nlist = int(np.asarray(cent).shape[0])  # clamped by kmeans
         with self._lock:
+            if expect_gen is not None and self._ivf_gen != expect_gen:
+                logger.info('IVF install aborted: index IVF state '
+                            'changed during training (gen %d -> %d)',
+                            expect_gen, self._ivf_gen)
+                return False
             ng = len(self.paths)
             cur_layout = None
             if self.shard:
@@ -897,14 +988,20 @@ class RetrievalIndex:
             else:
                 # re-sort with an in-HBM gather of the resident rows
                 self._place_ivf(device_layout=cur_layout)
+            self._ivf_gen += 1
+            # snapshot for logging outside the lock: a concurrent
+            # disable_ivf after release must not crash the logger
+            log_np, log_bg = self._ivf['nprobe'], self._ivf['budget']
         logger.info('IVF installed: %d cells, nprobe=%d, budget=%d%s',
-                    nlist, self._ivf['nprobe'], self._ivf['budget'],
+                    nlist, log_np, log_bg,
                     ' (sharded)' if self.shard else '')
+        return True
 
     def disable_ivf(self):
         """Back to the exact streaming scan (original row order)."""
         with self._lock:
             self._ivf = None
+            self._ivf_gen += 1
             self._place()
 
     @property
@@ -929,10 +1026,11 @@ class RetrievalIndex:
         ``add``: a synchronous k-means there would stall every search
         behind the index lock at serving scale.
         """
-        if self._ivf is None:
+        ivf = self._ivf  # snapshot: disable_ivf may null it mid-read
+        if ivf is None:
             return None
         n = len(self.paths)
-        return max(0.0, (n - self._ivf['trained_n']) / max(n, 1))
+        return max(0.0, (n - ivf['trained_n']) / max(n, 1))
 
     # ------------------------------------------------------------------
     # staleness-triggered background re-training
@@ -1007,6 +1105,7 @@ class RetrievalIndex:
                 spill_cur = self._ivf['spill_limit']
                 nprobe_cur = self._ivf['nprobe']
                 budget_cur = self._ivf['budget']
+                gen = self._ivf_gen
                 host_g, host_s = self._host_g, self._host_s
             # Indices restored by load() carry operating knobs but no
             # train recipe (save() persists ivf_params, not the recipe):
@@ -1022,13 +1121,16 @@ class RetrievalIndex:
                     len(host_g)),
                 iters=train.get('iters', 10), seed=train.get('seed', 0),
                 g_scale=host_s, sample=train.get('sample', 262144))
-            self._install_ivf(
+            installed = self._install_ivf(
                 cent, nprobe=train.get('nprobe', nprobe_cur),
                 budget=train.get('budget') if train else budget_cur,
                 spill_limit=train.get('spill_limit', spill_cur),
                 train=train or dict(nlist=None, nprobe=nprobe_cur,
                                     budget=budget_cur, iters=10, seed=0,
-                                    sample=262144, spill_limit=spill_cur))
+                                    sample=262144, spill_limit=spill_cur),
+                expect_gen=gen)
+            if not installed:
+                return  # operator changed IVF state during training
             ar = self._auto_retrain
             if ar is not None:
                 ar['count'] += 1
@@ -1039,11 +1141,23 @@ class RetrievalIndex:
 
     def _to_orig(self, pos):
         """Device-layout positions -> original row ids (-1 passthrough).
-        Identity when IVF is off (device order IS original order)."""
-        if self._ivf is None:
+        Identity when IVF is off (device order IS original order).
+
+        The perm+spill concatenation is cached per placement (both
+        arrays are REPLACED, never mutated, so identity is the change
+        signal): rebuilding an O(N) array per exact search would cost
+        ~8 MB of alloc+copy per request at 1M rows, inside the index
+        lock, on the serving host."""
+        ivf = self._ivf
+        if ivf is None:
             return pos
-        mapping = np.concatenate([self._ivf['perm'],
-                                  self._ivf['spill_ids']])
+        cache = ivf.get('_orig_map')
+        if (cache is None or cache[0] is not ivf['perm'] or
+                cache[1] is not ivf['spill_ids']):
+            cache = (ivf['perm'], ivf['spill_ids'],
+                     np.concatenate([ivf['perm'], ivf['spill_ids']]))
+            ivf['_orig_map'] = cache
+        mapping = cache[2]
         safe = np.clip(pos, 0, max(len(mapping) - 1, 0))
         return np.where(pos >= 0, mapping[safe], -1)
 
@@ -1100,7 +1214,14 @@ class RetrievalIndex:
             q = q[None]
         assert q.shape[1] == self.dim, (q.shape, self.dim)
         with self._lock:
-            k = max(1, min(int(k), self._n))
+            k_req = max(1, min(int(k), self._n))
+            # Bucket k to the next power of two (clamped to the
+            # gallery): the top-k programs are jit-static in k, so a
+            # client sweeping k values would otherwise force a cold XLA
+            # compile — minutes on a degraded compile service — INSIDE
+            # this lock per distinct k.  Bucketing bounds the program
+            # set at log2(N); results are sliced back to k_req below.
+            k = min(self._n, 1 << (k_req - 1).bit_length())
             if self.shard and self._ivf is not None:
                 from pps_tpu.parallel.retrieval import sharded_ivf_topk
                 ivf = self._ivf
@@ -1138,6 +1259,7 @@ class RetrievalIndex:
                                       g_scale=self._s)
                 # device layout is cell-sorted under IVF: map back
                 d, i = np.asarray(d), self._to_orig(np.asarray(i))
+            d, i = d[:, :k_req], i[:, :k_req]
             if return_paths:
                 return d, i, self._paths_of(i)
             return d, i
@@ -1182,22 +1304,39 @@ class RetrievalIndex:
         per-row host rerank skips them and the outputs have ``n_valid``
         rows.
         """
+        s = max(int(shortlist), int(k))
+        prep = self.rerank_shortlist_snapshot(
+            q_feats, s, recall_target=recall_target, chunk=chunk,
+            return_paths=return_paths, n_valid=n_valid)
+        return self.rerank_from_snapshot(
+            prep, k, k1=k1, k2=k2, lambda_value=lambda_value,
+            engine=engine, return_paths=return_paths)
+
+    def rerank_shortlist_snapshot(self, q_feats, shortlist,
+                                  recall_target=None, chunk=4096,
+                                  return_paths=False, n_valid=None):
+        """Phase 1 of ``search_reranked``, under the index lock: device
+        top-``shortlist`` scan plus a host snapshot of the candidate
+        rows/paths per query.  Returns an opaque prep dict consumed by
+        ``rerank_from_snapshot``.
+
+        The split exists for lock discipline: a concurrent remove()
+        renumbers rows, so the scan and the row/path resolution must
+        share one lock hold — but the O(S^2) k-reciprocal math (phase
+        2) can take ~15 ms/query on one host core, and holding the
+        index lock across it would stall every concurrent search for
+        pure host work (measured: tools/bench_serving.py --load).
+        Batch callers composing several phase-1 calls into one
+        consistent view hold ``snapshot()`` across them and run phase 2
+        after releasing it (SearchBatcher._dispatch)."""
         q = np.asarray(q_feats, np.float32)
         if q.ndim == 1:
             q = q[None]
         nq_real = q.shape[0] if n_valid is None else min(int(n_valid),
                                                          q.shape[0])
-        s = max(int(shortlist), int(k))
-        # hold the (re-entrant) lock ONLY across shortlist scan + host
-        # row/path snapshot: a concurrent remove() renumbers rows, so
-        # indices from an unlocked scan would fetch the WRONG gallery
-        # rows (or step past the shrunk array).  The O(S^2) k-reciprocal
-        # math itself runs on the snapshot OUTSIDE the lock — it can take
-        # ~ms/query (numpy engine: ~15 ms on one core), and holding the
-        # index lock across it would stall every concurrent search for
-        # pure host work (measured: tools/bench_serving.py --load).
         with self._lock:
-            d0, i0 = self.search(q, s, recall_target=recall_target,
+            d0, i0 = self.search(q, int(shortlist),
+                                 recall_target=recall_target,
                                  chunk=chunk)
             snaps = []
             for qi in range(nq_real):
@@ -1209,7 +1348,18 @@ class RetrievalIndex:
                               if 0 <= int(j) < len(self.paths) else None
                               for j in cand]
                 snaps.append((cand, rows, cpaths))
-        kk = min(int(k), i0.shape[1])
+        return {'q': q, 'snaps': snaps, 'ncols': i0.shape[1],
+                'nq_real': nq_real}
+
+    def rerank_from_snapshot(self, prep, k, k1=20, k2=6,
+                             lambda_value=0.3, engine='auto',
+                             return_paths=False):
+        """Phase 2 of ``search_reranked``: the per-query k-reciprocal
+        math over a phase-1 snapshot.  Pure host work — call it OUTSIDE
+        the index lock."""
+        q, snaps = prep['q'], prep['snaps']
+        nq_real = prep['nq_real']
+        kk = min(int(k), prep['ncols'])
         out_d = np.full((nq_real, kk), np.inf, np.float32)
         out_i = np.full((nq_real, kk), -1, np.int64)
         out_p = [[None] * kk for _ in range(nq_real)]
@@ -1340,6 +1490,7 @@ class RetrievalIndex:
                 'trained_n': trained_n,
             }
         self._auto_retrain = None
+        self._ivf_gen = 0
         self._lock = threading.RLock()
         self._place()
         logger.info('loaded %d x %d index (%s) from %s', len(self.paths),

@@ -163,3 +163,33 @@ def test_chunked_embed_resumes_after_crash(tiny, monkeypatch):
     # chunked result bitwise equals one unchunked embed of the same list
     f2 = np.asarray(real(cfg, model, params, state, p1, mesh), np.float32)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_corrupt_features_member_reembeds(tiny, monkeypatch):
+    """An npz whose zip directory is intact but whose 'features' member
+    is bit-rotted loads paths/wkey fine and only fails at the LAZY
+    features read — that read must sit inside the corruption guard too,
+    or the daemon dies at startup on exactly the file the guard was
+    written for (advisor r5)."""
+    model, params, state, mesh, gdir, weights = tiny
+    calls = _counting(monkeypatch)
+    f1, _ = serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                         mesh, weights_path=weights)
+    assert calls['n'] == 1
+    cache = os.path.join(gdir, serving.GALLERY_CACHE_NAME)
+    with open(cache, 'rb') as f:
+        blob = bytearray(f.read())
+    at = blob.find(b'features.npy') + len('features.npy') + 128
+    for j in range(at, at + 8):
+        blob[j] ^= 0xFF
+    with open(cache, 'wb') as f:
+        f.write(bytes(blob))
+    # the scenario is real: paths still read, the features member raises
+    data = np.load(cache, allow_pickle=True)
+    assert list(data['paths'])
+    with pytest.raises(Exception):
+        np.asarray(data['features'])
+    f2, p2 = serving.embed_gallery_cached(cfg, model, params, state, gdir,
+                                          mesh, weights_path=weights)
+    assert calls['n'] == 2 and f2.shape[0] == 3 == len(p2)
+    np.testing.assert_allclose(f2, f1, rtol=0, atol=0)

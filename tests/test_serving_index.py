@@ -606,3 +606,48 @@ def test_ivf_auto_retrain_after_load_keeps_tuned_knobs(tmp_path):
     gg = np.concatenate([g, extra.astype(np.float32)])
     brute = _brute_order(q, gg)[:, :10]
     np.testing.assert_array_equal(i_e, brute)
+
+
+def test_empty_index_rejected_at_construction():
+    """An empty gallery has no searchable program (top-k over a
+    zero-length axis is an XLA error): fail at construction with a
+    real message, not inside the first search (advisor r5)."""
+    with pytest.raises(ValueError, match='at least one row'):
+        RetrievalIndex(np.zeros((0, 32), np.float32), [])
+
+
+def test_install_aborts_when_ivf_state_changed():
+    """A background re-train that finished k-means AFTER the operator
+    disabled (or manually re-trained) IVF must not override that
+    decision: _install_ivf(expect_gen=...) aborts on a stale
+    generation (advisor r5)."""
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    idx.enable_ivf(nlist=10, nprobe=3, seed=0)
+    from pps_tpu.ops.ivf import kmeans
+    cent = np.asarray(kmeans(idx._host_g, 10, iters=2, seed=1,
+                             g_scale=idx._host_s))
+    gen = idx._ivf_gen
+    idx.disable_ivf()  # operator turns IVF off while "k-means" ran
+    assert idx._install_ivf(cent, nprobe=3, budget=None, spill_limit=8,
+                            train=None, expect_gen=gen) is False
+    assert idx._ivf is None  # the explicit disable stands
+    # current-generation install still works (the non-stale path)
+    assert idx._install_ivf(cent, nprobe=3, budget=None, spill_limit=8,
+                            train=None,
+                            expect_gen=idx._ivf_gen) is True
+    assert idx.ivf_enabled
+
+
+def test_search_k_bucketing_slices_to_requested_k():
+    """search buckets k to a power of two internally (bounding the
+    compiled top-k program set against client-swept k values) and
+    slices back: results at any k equal the first k columns of the
+    exact brute-force order."""
+    q, g = _clustered_data()
+    idx = RetrievalIndex(g, list(range(len(g))), int8=False)
+    brute = _brute_order(q, g)
+    for k in (1, 3, 5, 7, 100, len(g)):
+        d, i = idx.search(q, k=k)
+        assert i.shape == (len(q), min(k, len(g)))
+        np.testing.assert_array_equal(i, brute[:, :min(k, len(g))])
